@@ -1,0 +1,94 @@
+"""Oracle engine tests: perfect reconstruction, golden values, packing."""
+import numpy as np
+import pytest
+
+from wavelettransforms_tpu.ops import dwt_numpy as dn
+from wavelettransforms_tpu.wavelets import wavelist
+
+ALL_MODES = ["periodization", "symmetric", "zero", "reflect", "periodic",
+             "constant"]
+
+
+def test_haar_periodization_golden():
+    # pywt.dwt([1,2,3,4], 'haar', 'periodization') published values.
+    cA, cD = dn.dwt(np.array([1.0, 2, 3, 4]), "haar", "periodization")
+    np.testing.assert_allclose(cA, [3 / np.sqrt(2), 7 / np.sqrt(2)], atol=1e-12)
+    np.testing.assert_allclose(cD, [-1 / np.sqrt(2), -1 / np.sqrt(2)], atol=1e-12)
+
+
+def test_db1_symmetric_golden():
+    # The canonical pywt docs example: pywt.dwt([1,2,3,4], 'db1') ->
+    # ([2.12132034, 4.94974747], [-0.70710678, -0.70710678]).
+    cA, cD = dn.dwt(np.array([1.0, 2, 3, 4]), "db1", "symmetric")
+    np.testing.assert_allclose(cA, [2.12132034, 4.94974747], atol=1e-8)
+    np.testing.assert_allclose(cD, [-0.70710678, -0.70710678], atol=1e-8)
+
+
+@pytest.mark.parametrize("name", wavelist())
+def test_perfect_reconstruction_per(name, rng):
+    for n in (8, 16, 17, 31):
+        x = rng.standard_normal(n)
+        cA, cD = dn.dwt(x, name, "periodization")
+        assert len(cA) == (n + 1) // 2
+        xr = dn.idwt(cA, cD, name, "periodization")
+        np.testing.assert_allclose(xr[:n], x, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+@pytest.mark.parametrize("name", ["haar", "db4", "sym4", "coif1", "bior2.2",
+                                  "bior4.4", "rbio4.4"])
+def test_perfect_reconstruction_modes(name, mode, rng):
+    for n in (16, 17, 33):
+        x = rng.standard_normal(n)
+        cA, cD = dn.dwt(x, name, mode)
+        xr = dn.idwt(cA, cD, name, mode)
+        np.testing.assert_allclose(xr[:n], x, atol=1e-9)
+
+
+def test_energy_preservation_orthogonal(rng):
+    x = rng.standard_normal((32, 32))
+    arr, _ = dn.coeffs_to_array(dn.wavedec2(x, "db4", 3))
+    assert abs(np.sum(arr**2) / np.sum(x**2) - 1.0) < 1e-10
+
+
+@pytest.mark.parametrize("name", ["haar", "db2", "bior4.4", "rbio2.2"])
+@pytest.mark.parametrize("shape", [(3, 3), (7, 7), (8, 8), (5, 9), (1, 1)])
+@pytest.mark.parametrize("level", [0, 1, 2])
+def test_wavedec2_roundtrip(name, shape, level, rng):
+    x = rng.standard_normal((2, 3) + shape)  # batched leading dims
+    coeffs = dn.wavedec2(x, name, level)
+    arr, slices = dn.coeffs_to_array(coeffs)
+    back = dn.array_to_coeffs(arr, slices)
+    xr = dn.waverec2(back, name)[..., : shape[0], : shape[1]]
+    np.testing.assert_allclose(xr, x, atol=1e-9)
+
+
+def test_packed_shapes():
+    # 3x3 L1 haar packs to 4x4 (each subband 2x2) — percentile runs over 16
+    # values though the layer has 9 (reference parity subtlety).
+    x = np.random.default_rng(2).standard_normal((3, 3))
+    arr, _ = dn.coeffs_to_array(dn.wavedec2(x, "haar", 1))
+    assert arr.shape == (4, 4)
+    assert dn.packed_shape(3, 3, 1) == (4, 4)
+    assert dn.packed_shape(7, 7, 2) == (8, 8)
+    # 4x4 L3 needs mosaic padding (pywt padding=0 semantics)
+    arr, _ = dn.coeffs_to_array(dn.wavedec2(np.ones((4, 4)), "haar", 3))
+    assert arr.shape == (5, 5)
+
+
+def test_level_zero_identity(rng):
+    x = rng.standard_normal((4, 4))
+    coeffs = dn.wavedec2(x, "bior4.4", 0)
+    assert len(coeffs) == 1
+    np.testing.assert_array_equal(coeffs[0], x)
+    np.testing.assert_array_equal(dn.waverec2(coeffs, "bior4.4"), x)
+
+
+def test_operator_cache_reuse():
+    A1 = dn.analysis_operator(16, "db2")
+    A2 = dn.analysis_operator(16, "db2")
+    assert A1 is A2 or np.shares_memory(A1, A2) or np.array_equal(A1, A2)
+    # analysis/synthesis inverse identity for per mode (even n)
+    S = dn.synthesis_operator(8, "db2")
+    np.testing.assert_allclose(S @ dn.analysis_operator(16, "db2"),
+                               np.eye(16), atol=1e-10)

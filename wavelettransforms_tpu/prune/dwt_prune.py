@@ -1,0 +1,102 @@
+"""Selective (DWT) pruning — the TPU-native core of the framework.
+
+Per tensor (reference semantics, /root/reference/ResNet/dwt_pruning.py:35-95):
+  1. clamp the decomposition level to pywt's dwt_max_level of the *smaller*
+     spatial dim (:12-13, :64-65);
+  2. multi-level 2-D DWT over the spatial axes, channels batched;
+  3. ONE percentile threshold over the |packed mosaic| of the whole tensor
+     (:25-32, :67-73) — strict ``<`` comparison;
+  4. inverse transform, crop to the original shape (:77-82);
+  5. count exact zeros in the reconstruction (:88-89).
+
+Tensors with fewer than two dims bypass the transform and are thresholded
+directly (:58-62).
+
+The whole sweep over a checkpoint ("gang encode") is one jitted program: XLA
+sees every layer's analysis/threshold/synthesis at once and schedules them
+together on the chip — the TPU-native replacement for the reference's
+per-layer Python loop over pywt calls.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dwt_jax as dj
+from ..ops import threshold as th
+from ..wavelets import dwt_max_level, get_wavelet
+from .api import LayerPruneStats, PruneStats, is_conv_kernel
+
+
+def clamped_level(shape, wavelet, level: int) -> int:
+    """min(level, dwt_max_level(min(spatial dims), dec_len)) — reference
+    clamp (/root/reference/ResNet/dwt_pruning.py:64-65)."""
+    return min(level, dwt_max_level(min(shape[-2:]), wavelet))
+
+
+def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
+                     mode: str = "periodization", axes=(-2, -1)):
+    """Prune one weight tensor.  Returns (pruned, threshold_value).
+
+    ``percentile`` in [0, 100] (the reference CLI threshold * 100,
+    /root/reference/ResNet/main_pruning.py:186).  Jit-safe: ``wavelet``,
+    ``level``, ``mode``, ``axes`` static; ``percentile`` may be traced.
+    """
+    if w.ndim < 2:
+        return th.percentile_threshold(w, percentile)
+    lvl = clamped_level([w.shape[axes[0]], w.shape[axes[1]]] if axes != (-2, -1)
+                        else w.shape, wavelet, level)
+    coeffs = dj.wavedec2(w, wavelet, lvl, mode, axes=axes)
+    arr, slices = dj.coeffs_to_array(coeffs, axes=axes)
+    pruned_arr, thr = th.percentile_threshold(arr, percentile)
+    rec = dj.waverec2(dj.array_to_coeffs(pruned_arr, slices, axes=axes),
+                      wavelet, mode, axes=axes)
+    # crop reconstruction overshoot (odd dims) back to the original shape
+    for ax in axes:
+        ax = ax % w.ndim
+        if rec.shape[ax] > w.shape[ax]:
+            rec = jax.lax.slice_in_dim(rec, 0, w.shape[ax], axis=ax)
+    return rec.astype(w.dtype), thr
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "level", "mode"))
+def _gang_encode(tensors: tuple, wavelet: str, level: int,
+                 mode: str, percentile):
+    out = []
+    zeros = []
+    for t in tensors:
+        pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
+        out.append(pruned)
+        zeros.append(th.exact_zero_count(pruned))
+    return tuple(out), tuple(zeros)
+
+
+def wavelet_pruning(params: dict, wavelet: str, level: int, percentile: float,
+                    mode: str = "periodization", layer_filter=is_conv_kernel,
+                    threshold: float | None = None):
+    """Apply selective DWT pruning to every selected tensor of ``params``.
+
+    Returns (new_params, PruneStats).  ``percentile`` in [0, 100];
+    ``threshold`` (0..1 CLI value) is recorded in the stats as
+    percentile / 100 if not given (/root/reference/ResNet/dwt_pruning.py:147).
+    """
+    names = tuple(n for n, v in params.items() if layer_filter(n, v))
+    tensors = tuple(jnp.asarray(params[n]) for n in names)
+    pruned, zeros = _gang_encode(tensors, wavelet, level, mode,
+                                 jnp.asarray(percentile, jnp.float32))
+    stats = PruneStats(
+        phase="selective", wavelet=wavelet, level=level,
+        threshold=percentile / 100.0 if threshold is None else threshold,
+    )
+    new_params = dict(params)
+    for n, t, z in zip(names, pruned, zeros):
+        new_params[n] = t
+        total = int(t.size)
+        z = int(z)
+        stats.layers.append(LayerPruneStats(
+            layer_name=n, original_param_count=total,
+            non_zero_params=total - z, pruned_count=z,
+        ))
+    return new_params, stats
