@@ -1,0 +1,86 @@
+"""Mesh-sharded DWT + distributed quantile tests (8 virtual CPU devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelettransforms_tpu.ops import threshold as th
+from wavelettransforms_tpu.parallel.halo import (
+    coeff_tree_size, run_sharded_prune)
+from wavelettransforms_tpu.parallel.mesh import make_mesh
+from wavelettransforms_tpu.parallel.quantile import percentile_abs
+from wavelettransforms_tpu.prune import dwt_prune_tensor
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"data": 8})
+
+
+QS = (0.0, 10.0, 50.0, 61.8, 99.9, 100.0)
+
+
+def test_percentile_numpy_parity_f32(rng):
+    # includes the big-n regime where numpy's f32 rank quantizes
+    for n in (1001, 100003):
+        x = rng.standard_normal(n).astype(np.float32)
+        for q in QS:
+            want = float(np.percentile(np.abs(x), q))
+            got_sort = float(th.percentile_threshold_value(jnp.asarray(x), q))
+            got_radix = float(jax.jit(
+                lambda v, q=q: percentile_abs(v, q))(jnp.asarray(x)))
+            assert abs(got_sort - want) <= 2e-7 * max(1.0, abs(want)), (n, q)
+            assert got_radix == pytest.approx(want, abs=1e-12), (n, q)
+
+
+def test_percentile_numpy_parity_f64(rng):
+    x = rng.standard_normal(4097)
+    for q in QS:
+        want = float(np.percentile(np.abs(x), q))
+        got = float(th.percentile_threshold_value(jnp.asarray(x), q))
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_radix_percentile_sharded_matches_global(mesh, rng):
+    # psum'd radix select over shards == single-array numpy percentile
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = rng.standard_normal((8, 4096)).astype(np.float32)
+    for q in (37.5, 90.0):
+        fn = shard_map(
+            lambda v, q=q: percentile_abs(
+                v, q, axis_name="data", total_size=x.size),
+            mesh=mesh, in_specs=(P("data", None),), out_specs=P())
+        got = float(jax.jit(fn)(jnp.asarray(x)))
+        want = float(np.percentile(np.abs(x), q))
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+@pytest.mark.parametrize("wavelet,level", [("haar", 2), ("db2", 2),
+                                           ("bior4.4", 3)])
+def test_sharded_prune_matches_unsharded(mesh, rng, wavelet, level):
+    x = rng.standard_normal((2, 256, 256)).astype(np.float32)
+    sharded = np.asarray(
+        run_sharded_prune(jnp.asarray(x), wavelet, level, 61.8, mesh))
+    unsharded, _ = dwt_prune_tensor(jnp.asarray(x), wavelet, level, 61.8)
+    unsharded = np.asarray(unsharded)
+    # same coefficients -> identical zero patterns; values equal up to the
+    # conv-vs-matmul accumulation-order difference at deep levels
+    assert np.array_equal(sharded == 0, unsharded == 0) or \
+        np.max(np.abs(sharded - unsharded)) < 1e-5
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+
+
+def test_coeff_tree_size():
+    assert coeff_tree_size(8, 8, 0) == 64
+    assert coeff_tree_size(8, 8, 1) == 64
+    assert coeff_tree_size(8, 8, 3) == 64
+    assert coeff_tree_size(6, 6, 1) == 36
+
+
+def test_sharded_lossless_roundtrip(mesh, rng):
+    # percentile 0 -> pure sharded transform+inverse == identity
+    x = rng.standard_normal((1, 128, 128)).astype(np.float32)
+    out = np.asarray(run_sharded_prune(jnp.asarray(x), "db6", 2, 0.0, mesh))
+    np.testing.assert_allclose(out, x, atol=1e-5)

@@ -20,10 +20,44 @@ import jax.numpy as jnp
 NEAR_ZERO = 1e-6
 
 
-def percentile_threshold_value(x, percentile):
-    """np.percentile(|x|, percentile) with 'linear' interpolation, over the
-    *whole* array (all axes).  ``percentile`` in [0, 100]."""
-    return jnp.percentile(jnp.abs(x).ravel(), percentile, method="linear")
+def numpy_virtual_rank(percentile: float, n: int, dtype) -> float:
+    """numpy's virtual percentile rank, **bug-for-bug**: numpy casts the
+    quantile q/100 (computed in f64) to the array dtype and multiplies by
+    (n-1) in that dtype — for float32 arrays with millions of elements the
+    fractional rank quantizes away (ulp(2.4e6) ~ 0.25).  The reference
+    thresholds float32 coeff arrays through exactly this path
+    (/root/reference/ResNet/dwt_pruning.py:27), so we reproduce it."""
+    import numpy as np
+
+    if np.dtype(dtype) == np.float32:
+        rank = float(np.float32(float(percentile) / 100.0) * np.float32(n - 1))
+    else:
+        rank = (float(percentile) / 100.0) * (n - 1)
+    return min(max(rank, 0.0), float(n - 1))
+
+
+def percentile_threshold_value(x, percentile: float):
+    """np.percentile(|x|, percentile, method='linear') over the whole array.
+
+    ``percentile`` must be a static python float (rank resolution happens
+    host-side for exact numpy parity; lerp for fractional ranks is computed in
+    the array dtype, within 1 ulp of numpy's mixed-precision lerp)."""
+    flat = jnp.abs(x).ravel()
+    n = flat.size
+    s = jnp.sort(flat)
+    rank = numpy_virtual_rank(float(percentile), n, x.dtype)
+    k = int(rank)
+    frac = rank - k
+    a = s[k]
+    if frac == 0.0:
+        return a
+    b = s[min(k + 1, n - 1)]
+    diff = b - a
+    t = x.dtype.type(frac)
+    # numpy's _lerp: compute from the nearer side for symmetry
+    if frac >= 0.5:
+        return b - diff * (x.dtype.type(1) - t)
+    return a + diff * t
 
 
 def hard_threshold(x, threshold):

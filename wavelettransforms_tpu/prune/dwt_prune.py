@@ -41,8 +41,9 @@ def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
     """Prune one weight tensor.  Returns (pruned, threshold_value).
 
     ``percentile`` in [0, 100] (the reference CLI threshold * 100,
-    /root/reference/ResNet/main_pruning.py:186).  Jit-safe: ``wavelet``,
-    ``level``, ``mode``, ``axes`` static; ``percentile`` may be traced.
+    /root/reference/ResNet/main_pruning.py:186); static, like ``wavelet``,
+    ``level``, ``mode``, ``axes`` (rank resolution is host-side for exact
+    numpy-percentile parity).
     """
     if w.ndim < 2:
         return th.percentile_threshold(w, percentile)
@@ -61,9 +62,10 @@ def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
     return rec.astype(w.dtype), thr
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "level", "mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("wavelet", "level", "mode", "percentile"))
 def _gang_encode(tensors: tuple, wavelet: str, level: int,
-                 mode: str, percentile):
+                 mode: str, percentile: float):
     out = []
     zeros = []
     for t in tensors:
@@ -85,7 +87,7 @@ def wavelet_pruning(params: dict, wavelet: str, level: int, percentile: float,
     names = tuple(n for n, v in params.items() if layer_filter(n, v))
     tensors = tuple(jnp.asarray(params[n]) for n in names)
     pruned, zeros = _gang_encode(tensors, wavelet, level, mode,
-                                 jnp.asarray(percentile, jnp.float32))
+                                 float(percentile))
     stats = PruneStats(
         phase="selective", wavelet=wavelet, level=level,
         threshold=percentile / 100.0 if threshold is None else threshold,
