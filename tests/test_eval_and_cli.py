@@ -1,0 +1,108 @@
+"""End-to-end CLI + eval-suite tests on tiny synthetic models/data."""
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from wavelettransforms_tpu.data.imagenet import (SyntheticImageNet,
+                                                 batch_iterator, parse_synset)
+from wavelettransforms_tpu.eval.harness import (evaluate_all,
+                                                read_metrics_file)
+from wavelettransforms_tpu.models import create_random_checkpoint
+from wavelettransforms_tpu.models.resnet import ResNetConfig
+from wavelettransforms_tpu.utils.logging import (LogWorker, read_layer_log,
+                                                 write_layer_log)
+
+TINY = ResNetConfig(hidden_sizes=(8, 16, 32, 64), embedding_size=8,
+                    depths=(1, 1, 1, 1), num_labels=10)
+
+
+def test_parse_synset():
+    assert parse_synset("ILSVRC2012_val_00000001_n01751748.JPEG") == "n01751748"
+    assert parse_synset("weird.JPEG") is None
+    assert parse_synset("a_b_nXY.JPEG") is None
+
+
+def test_synthetic_batches():
+    ds = SyntheticImageNet(10, image_size=32, num_classes=4)
+    batches = list(batch_iterator(ds, 4))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+    assert batches[0][0].shape == (4, 32, 32, 3)
+    # deterministic
+    b2 = list(batch_iterator(ds, 4))
+    np.testing.assert_array_equal(batches[0][0], b2[0][0])
+
+
+def test_prune_cli_end_to_end(tmp_path):
+    """The reference's full main_pruning flow: 3 pruned checkpoints, layer
+    logs, experiment log — then evaluate all three."""
+    from wavelettransforms_tpu.cli.prune import run_pruning_experiment
+
+    og = create_random_checkpoint(str(tmp_path / "OGModel"), TINY, seed=0)
+    csv_path = str(tmp_path / "experiment_log.csv")
+    out_dir = str(tmp_path / "SavedModels")
+    results, guid = run_pruning_experiment(
+        og, "bior2.2", 2, 0.5, csv_path, out_dir)
+
+    assert set(results) == {"selective", "random", "min"}
+    run_dir = os.path.join(out_dir,
+                           f"bior2.2_threshold-0.5_level-2_guid-{guid[:4]}")
+    for phase in ("selective", "random", "min"):
+        d = os.path.join(run_dir, f"{phase}_pruned")
+        assert os.path.isfile(os.path.join(d, "model.safetensors"))
+        assert os.path.isfile(os.path.join(d, "config.json"))
+        assert os.path.isfile(os.path.join(d, "log.csv"))
+
+    # experiment log: 3 rows, reference schema
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert set(rows[0]) == {"GUID", "Wavelet", "Level", "Threshold", "Phase",
+                            "Total Pruned Count", "Total Non-Zero Params",
+                            "Model Path"}
+
+    # budget coupling via the log file (reference contract)
+    originals, pruned, frac = read_layer_log(
+        os.path.join(run_dir, "selective_pruned", "log.csv"))
+    assert frac == pytest.approx(results["selective"].prune_fraction)
+    _, rnd_pruned, _ = read_layer_log(
+        os.path.join(run_dir, "random_pruned", "log.csv"))
+    assert rnd_pruned == pruned  # random replays exact per-layer counts
+
+    # evaluate all three pruned models on synthetic data
+    ds = SyntheticImageNet(16, image_size=64, num_classes=10)
+    evals = evaluate_all(run_dir, lambda: batch_iterator(ds, 8),
+                         num_threads=2)
+    assert len(evals) == 3
+    for r in evals:
+        m = read_metrics_file(os.path.join(run_dir, r.model_name,
+                                           "evaluation_metrics.txt"))
+        assert "Accuracy" in m and "Sparsity" in m
+        assert 0.0 <= r.sparsity <= 1.0
+
+
+def test_log_worker(tmp_path):
+    path = str(tmp_path / "log.csv")
+    w = LogWorker(path)
+    for i in range(5):
+        w.put(f"guid{i}", "haar", 1, 0.5, "selective", i, 100 - i, "p")
+    w.close()
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 5
+    assert {r["GUID"] for r in rows} == {f"guid{i}" for i in range(5)}
+
+
+def test_layer_log_roundtrip(tmp_path):
+    from wavelettransforms_tpu.prune.api import LayerPruneStats, PruneStats
+
+    stats = PruneStats(phase="selective", wavelet="haar", level=1,
+                       threshold=0.5)
+    stats.layers.append(LayerPruneStats("conv1", 100, 60, 40))
+    stats.layers.append(LayerPruneStats("conv2", 200, 150, 50))
+    p = write_layer_log(str(tmp_path / "log.csv"), stats, "abcd1234")
+    originals, pruned, frac = read_layer_log(p)
+    assert originals == {"conv1": 100, "conv2": 200}
+    assert pruned == {"conv1": 40, "conv2": 50}
+    assert frac == pytest.approx(90 / 300)

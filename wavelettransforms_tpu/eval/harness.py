@@ -1,0 +1,177 @@
+"""Model evaluation harness — TPU-native equivalent of the reference's
+testing suite (/root/reference/ResNet/testing_suite/main.py).
+
+* jitted batched inference on the flax model (TPU forward pass);
+* accuracy / weighted-F1 / recall / avg CE loss / near-zero sparsity per
+  model (eval_model.py parity);
+* concurrent evaluation of many stored models with per-model isolation and
+  timeout (ThreadPoolExecutor, :126-144);
+* per-model ``evaluation_metrics.txt`` (:82-90) and metric bar-chart PDF
+  (:28-49).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (ResNetConfig, create_model, load_config,
+                      load_torch_state, torch_state_to_flax)
+from .metrics import classification_metrics, model_sparsity
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class EvalResult:
+    model_name: str
+    accuracy: float
+    f1: float
+    recall: float
+    avg_loss: float
+    sparsity: float
+    num_samples: int
+    seconds: float
+
+
+def evaluate_model(model, variables, batches) -> tuple[list, list, float, int]:
+    """Run inference over an iterable of (images NHWC, labels) batches.
+    Returns (all_labels, all_preds, avg_loss, n)."""
+    all_preds: list = []
+    all_labels: list = []
+    total_loss = 0.0
+    num_batches = 0
+
+    @jax.jit
+    def forward(variables, images):
+        logits = model.apply(variables, images)
+        return logits, jnp.argmax(logits, axis=-1)
+
+    for i, (images, labels) in enumerate(batches):
+        logits, preds = forward(variables, jnp.asarray(images))
+        logits = np.asarray(logits)
+        labels = np.asarray(labels)
+        if labels.size and labels.max() >= logits.shape[-1]:
+            raise ValueError(
+                f"label {labels.max()} out of range for model with "
+                f"{logits.shape[-1]} classes — check the dataset's class "
+                "space (e.g. --synthetic_classes)")
+        # mean CE per batch, averaged over batches (reference semantics,
+        # eval_model.py:50-52 + :81)
+        logp = logits - np.log(np.sum(np.exp(
+            logits - logits.max(-1, keepdims=True)), -1, keepdims=True)) \
+            - logits.max(-1, keepdims=True)
+        total_loss += float(-np.mean(logp[np.arange(len(labels)), labels]))
+        num_batches += 1
+        all_preds.extend(np.asarray(preds).tolist())
+        all_labels.extend(labels.tolist())
+        if i % 10 == 0:
+            log.info("Processed batch %d (total preds %d)", i, len(all_preds))
+    avg_loss = total_loss / num_batches if num_batches else float("inf")
+    return all_labels, all_preds, avg_loss, len(all_preds)
+
+
+def evaluate_checkpoint_dir(model_dir: str, batches_factory,
+                            write_artifacts: bool = True) -> EvalResult:
+    """Load an HF checkpoint dir, evaluate it, write metrics + plot."""
+    t0 = time.time()
+    model_name = os.path.basename(os.path.normpath(model_dir))
+    state = load_torch_state(model_dir)
+    cfg = ResNetConfig.from_hf_dict(load_config(model_dir))
+    model = create_model(cfg)
+    variables = torch_state_to_flax(state)
+    labels, preds, avg_loss, n = evaluate_model(
+        model, variables, batches_factory())
+    accuracy, f1, recall = classification_metrics(labels, preds)
+    sparsity = model_sparsity(state)
+    result = EvalResult(model_name, accuracy, f1, recall, avg_loss,
+                        sparsity, n, time.time() - t0)
+    if write_artifacts:
+        write_metrics_file(model_dir, result)
+        try:
+            create_and_save_plot(model_dir, result)
+        except Exception:  # matplotlib issues must not fail the eval
+            log.warning("plot failed:\n%s", traceback.format_exc())
+    return result
+
+
+def write_metrics_file(model_dir: str, r: EvalResult) -> str:
+    """evaluation_metrics.txt with the reference's exact format
+    (testing_suite/main.py:82-90)."""
+    path = os.path.join(model_dir, "evaluation_metrics.txt")
+    with open(path, "w") as f:
+        f.write(f"Model: {r.model_name}\n")
+        f.write(f"Accuracy: {r.accuracy}\n")
+        f.write(f"F1 Score: {r.f1}\n")
+        f.write(f"Recall: {r.recall}\n")
+        f.write(f"Average Loss: {r.avg_loss}\n")
+        f.write(f"Sparsity: {r.sparsity}\n")
+        f.write(f"Sparsity: {r.sparsity * 100:.4f}%\n")
+    return path
+
+
+def read_metrics_file(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                out.setdefault(k.strip(), v.strip())
+    return out
+
+
+def create_and_save_plot(model_dir: str, r: EvalResult) -> str:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12, 6))
+    metrics = ["Accuracy", "F1 Score", "Recall", "Sparsity"]
+    values = [r.accuracy, r.f1, r.recall, r.sparsity]
+    plt.bar(metrics, values)
+    plt.title(f"Model Evaluation Metrics: {r.model_name}")
+    plt.ylabel("Score")
+    plt.ylim(0, 1)
+    for i, v in enumerate(values):
+        plt.text(i, v, f"{v:.3f}", ha="center", va="bottom")
+    plt.text(0.5, -0.15, f"Average Loss: {r.avg_loss:.4f}", ha="center",
+             transform=plt.gca().transAxes)
+    plt.text(0.5, -0.25, f"Sparsity: {r.sparsity * 100:.4f}%", ha="center",
+             transform=plt.gca().transAxes)
+    path = os.path.join(model_dir,
+                        f"{r.model_name}_evaluation_metrics_plot.pdf")
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
+def evaluate_all(parent_dir: str, batches_factory, num_threads: int = 4,
+                 timeout: float = 600.0) -> list[EvalResult]:
+    """Evaluate every model subdirectory concurrently with per-model
+    isolation and timeout (testing_suite/main.py:121-144)."""
+    model_dirs = [os.path.join(parent_dir, d)
+                  for d in sorted(os.listdir(parent_dir))
+                  if os.path.isdir(os.path.join(parent_dir, d))]
+    results = []
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        futures = {ex.submit(evaluate_checkpoint_dir, d, batches_factory): d
+                   for d in model_dirs}
+        for fut in as_completed(futures):
+            d = futures[fut]
+            try:
+                results.append(fut.result(timeout=timeout))
+            except Exception as e:
+                log.error("Evaluation failed for %s: %s", d, e)
+    for r in results:
+        log.info("Model %s: acc=%.5f f1=%.5f recall=%.5f loss=%.4f "
+                 "sparsity=%.5f (%.1fs)", r.model_name, r.accuracy, r.f1,
+                 r.recall, r.avg_loss, r.sparsity, r.seconds)
+    return results

@@ -52,7 +52,7 @@ def _dwt_last_matmul(x, w: Wavelet, mode: str):
     n = x.shape[-1]
     A_lo, A_hi = _ref._analysis_matrices(n, w.name, mode)
     A = jnp.asarray(np.concatenate([A_lo, A_hi], axis=0), dtype=x.dtype)
-    y = jnp.einsum("...n,kn->...k", x, A)
+    y = jnp.einsum("...n,kn->...k", x, A, precision=lax.Precision.HIGHEST)
     out = A_lo.shape[0]
     return y[..., :out], y[..., out:]
 
@@ -61,7 +61,8 @@ def _idwt_last_matmul(cA, cD, w: Wavelet, mode: str):
     n = cA.shape[-1]
     S_lo, S_hi = _ref._synthesis_matrices(n, w.name, mode)
     S = jnp.asarray(np.concatenate([S_lo, S_hi], axis=1), dtype=cA.dtype)
-    y = jnp.einsum("...k,nk->...n", jnp.concatenate([cA, cD], axis=-1), S)
+    y = jnp.einsum("...k,nk->...n", jnp.concatenate([cA, cD], axis=-1), S,
+                   precision=lax.Precision.HIGHEST)
     return y
 
 
@@ -77,6 +78,7 @@ def _conv1d_last(x, filt, stride: int):
     y = lax.conv_general_dilated(
         xr, f, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,  # full f32 on the TPU MXU
     )
     return y.reshape(batch_shape + (y.shape[-1],))
 

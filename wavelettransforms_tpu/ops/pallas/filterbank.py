@@ -1,0 +1,333 @@
+"""Pallas TPU filter-bank kernels — the hand-written transform engine.
+
+The reference delegates its hot loop to PyWavelets' C convolution core
+(/root/reference/ResNet/dwt_pruning.py:67-77); this is the TPU-native
+replacement (SURVEY.md §2.4): fused separable 2-D analysis/synthesis for
+``mode='periodization'``, one HBM read + one HBM write per level.
+
+Design (per grid step = one full-width row band of one batch element):
+
+  * the input stays in HBM (``pl.ANY``); the kernel DMAs the band plus
+    ``F/2-1`` halo rows (top/bottom, circular wrap — periodization) into
+    VMEM: three contiguous async copies, no 2-D halo corner cases;
+  * column pass: deinterleave even/odd rows via a sublane reshape, then
+    F shifted multiply-adds (contiguous slices — VPU-friendly, no strided
+    loads);
+  * row pass: lane-circular extension by concat, one in-VMEM transpose,
+    the same deinterleaved pass, transpose back;
+  * outputs are the four subbands with plain non-overlapping BlockSpecs.
+
+Arithmetic intensity is ~4F flops/element — at F<=20 this stays under the
+VPU roof at HBM-bound sizes, i.e. the kernel runs at memory speed-of-light.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...wavelets import Wavelet, get_wavelet
+
+# Flip to True (e.g. in tests) to run kernels in interpreter mode off-TPU.
+INTERPRET = False
+
+
+def _as_wavelet(wavelet) -> Wavelet:
+    return wavelet if isinstance(wavelet, Wavelet) else get_wavelet(wavelet)
+
+
+def _deinterleaved_pass(band, filt_rev, out_rows: int, shift: int = 0):
+    """out[k, :] = sum_j filt_rev[j] * band[2k + j + shift, :], k < out_rows.
+
+    ``shift`` (static) absorbs halo padding added for DMA alignment.
+    Implemented as F contiguous shifted adds on the even/odd row planes (no
+    strided access).
+    """
+    rows, cols = band.shape
+    half = rows // 2
+    de = band.reshape(half, 2, cols)
+    planes = (de[:, 0, :], de[:, 1, :])
+    acc = None
+    for j, c in enumerate(filt_rev):
+        src = planes[(j + shift) % 2]
+        start = (j + shift) // 2
+        piece = jax.lax.slice_in_dim(src, start, start + out_rows, axis=0)
+        term = piece * c
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _col_pass(band, lo_rev, hi_rev, out_rows: int, shift: int = 0):
+    return (_deinterleaved_pass(band, lo_rev, out_rows, shift),
+            _deinterleaved_pass(band, hi_rev, out_rows, shift))
+
+
+def _row_pass(x, lo_rev, hi_rev, halo: int):
+    """Periodization transform along the LANE axis via lane-circular concat +
+    transpose + deinterleaved column pass + transpose back."""
+    rows, cols = x.shape
+    out_cols = cols // 2
+    if halo:
+        ext = jnp.concatenate(
+            [x[:, cols - halo:], x, x[:, :halo]], axis=1)
+    else:
+        ext = x
+    t = ext.T  # (cols + 2*halo, rows)
+    lo = _deinterleaved_pass(t, lo_rev, out_cols).T
+    hi = _deinterleaved_pass(t, hi_rev, out_cols).T
+    return lo, hi
+
+
+def _aligned_halo(halo: int) -> int:
+    """HBM DMA slices must be (8, 128)-tile aligned: round the halo row count
+    up to a multiple of 8 (the surplus is absorbed by a static shift in the
+    filter-tap slicing)."""
+    return ((halo + 7) // 8) * 8 if halo else 0
+
+
+def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
+                     tm: int, h: int, w: int, halo: int,
+                     lo_rev, hi_rev):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = i * tm
+    hp = _aligned_halo(halo)
+
+    def copy(dst_row, src_row, nrows, slot):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src_row, nrows), :],
+            band.at[pl.ds(dst_row, nrows), :],
+            sem.at[slot],
+        )
+        cp.start()
+        return cp
+
+    cps = []
+    if hp:
+        top = pl.multiple_of(jax.lax.rem(r0 - hp + h, jnp.int32(h)), 8)
+        bot = pl.multiple_of(jax.lax.rem(r0 + tm, jnp.int32(h)), 8)
+        cps.append(copy(0, top, hp, 0))
+        cps.append(copy(hp + tm, bot, hp, 1))
+    cps.append(copy(hp, pl.multiple_of(r0, 8), tm, 2))
+    for cp in cps:
+        cp.wait()
+
+    x = band[...]
+    a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
+    # pywt naming: hl = 'da' (detail along rows), lh = 'ad' (detail cols)
+    ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
+    hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
+    ll_ref[...] = ll
+    hl_ref[...] = hl
+    lh_ref[...] = lh
+    hh_ref[...] = hh
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret"))
+def dwt2_level_pallas(x, wavelet: str, tm: int = 256,
+                      interpret: bool | None = None):
+    """Single-level 2-D periodization DWT of (B, H, W) float32.
+
+    Returns (ll, hl, lh, hh), each (B, H/2, W/2):
+      hl = detail along rows (pywt 'da' / cH), lh = detail along cols ('ad').
+    H must be a multiple of ``tm``; H, W even; halo (= dec_len/2-1) < tm.
+    """
+    w = _as_wavelet(wavelet)
+    interpret = INTERPRET if interpret is None else interpret
+    B, H, W = x.shape
+    F = w.dec_len
+    halo = F // 2 - 1
+    tm = min(tm, H)
+    assert H % tm == 0 and H % 2 == 0 and W % 2 == 0 and halo < tm, (
+        H, W, tm, halo)
+    lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
+
+    grid = (B, H // tm)
+    out_shape = [jax.ShapeDtypeStruct((B, H // 2, W // 2), x.dtype)] * 4
+    out_spec = pl.BlockSpec((1, tm // 2, W // 2), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wrapped(x_hbm, ll, hl, lh, hh, band, sem):
+        # out refs have a leading block dim of 1; write without it
+        _analysis_kernel(
+            x_hbm,
+            ll.at[0], hl.at[0], lh.at[0], hh.at[0],
+            band, sem, tm=tm, h=H, w=W, halo=halo,
+            lo_rev=lo_rev, hi_rev=hi_rev)
+
+    ll, hl, lh, hh = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tm + 2 * _aligned_halo(halo), W), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(x)
+    return ll, hl, lh, hh
+
+
+# ---------------------------------------------------------------------------
+# Synthesis
+# ---------------------------------------------------------------------------
+
+def _upsample_rows(a):
+    rows, cols = a.shape
+    z = jnp.zeros_like(a)
+    return jnp.stack([a, z], axis=1).reshape(2 * rows, cols)
+
+
+def _synth_pass_rows(ua, ud, lo_rev_sym, hi_rev_sym, out_rows: int,
+                     start: int = 0):
+    """x[t] = sum_j rec_rev[j] * u[t + j + start] over upsampled halo rows."""
+    F = len(lo_rev_sym)
+    acc = None
+    for j in range(F):
+        s = j + start
+        pa = jax.lax.slice_in_dim(ua, s, s + out_rows, axis=0) * lo_rev_sym[j]
+        pd = jax.lax.slice_in_dim(ud, s, s + out_rows, axis=0) * hi_rev_sym[j]
+        term = pa + pd
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _synthesis_kernel(a_hbm, d_hbm, out_ref, band_a, band_d, sem, *,
+                      tc: int, hc: int, wc: int, F: int,
+                      lo_rev, hi_rev, axis_rows: bool):
+    """One band of coefficient rows -> reconstructed rows (single axis).
+
+    a/d: (B, HC, WC) coefficient arrays; out: (B, 2*HC, WC).
+    Needs halo: output rows [2*tc*i, 2*tc*(i+1)) depend on u rows
+    [n - off, n + F - 1 - off] -> coefficient rows floor offsets.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    off = F // 2
+    # coefficient-row halo: left ceil(off/2), right ceil((F-off)/2),
+    # padded to the DMA tile alignment.
+    hl = _aligned_halo((off + 1) // 2)
+    hr = _aligned_halo((F - off) // 2)
+    r0 = i * tc
+
+    def fetch(hbm, buf, slot0):
+        cps = []
+        if hl:
+            top = pl.multiple_of(jax.lax.rem(r0 - hl + hc, jnp.int32(hc)), 8)
+            cps.append(pltpu.make_async_copy(
+                hbm.at[b, pl.ds(top, hl), :], buf.at[pl.ds(0, hl), :],
+                sem.at[slot0]))
+        if hr:
+            bot = pl.multiple_of(jax.lax.rem(r0 + tc, jnp.int32(hc)), 8)
+            cps.append(pltpu.make_async_copy(
+                hbm.at[b, pl.ds(bot, hr), :], buf.at[pl.ds(hl + tc, hr), :],
+                sem.at[slot0 + 1]))
+        cps.append(pltpu.make_async_copy(
+            hbm.at[b, pl.ds(pl.multiple_of(r0, 8), tc), :],
+            buf.at[pl.ds(hl, tc), :],
+            sem.at[slot0 + 2]))
+        for c in cps:
+            c.start()
+        return cps
+
+    cps = fetch(a_hbm, band_a, 0) + fetch(d_hbm, band_d, 3)
+    for c in cps:
+        c.wait()
+
+    ua = _upsample_rows(band_a[...])
+    ud = _upsample_rows(band_d[...])
+    # local u row index of global u row n: n - 2*(r0 - hl)
+    # want x[n] = sum_j w_rev[j] * u[n + j - off]; first needed u for local
+    # out row 0 (global n0 = 2*r0) is 2*r0 - off -> local = 2*hl - off >= 0.
+    out = _synth_pass_rows(ua, ud, lo_rev, hi_rev, 2 * tc,
+                           start=2 * hl - off)
+    out_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret"))
+def idwt_rows_pallas(cA, cD, wavelet: str, tc: int = 128,
+                     interpret: bool | None = None):
+    """Periodization synthesis along the ROW axis of (B, HC, W) -> (B, 2HC, W)."""
+    w = _as_wavelet(wavelet)
+    interpret = INTERPRET if interpret is None else interpret
+    B, HC, W = cA.shape
+    F = w.rec_len
+    tc = min(tc, HC)
+    assert HC % tc == 0
+    off = F // 2
+    hl = _aligned_halo((off + 1) // 2)
+    hr = _aligned_halo((F - off) // 2)
+    assert hl <= HC and hr <= HC, "coefficient band too short for halo wrap"
+    lo_rev = tuple(float(v) for v in w.rec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.rec_hi[::-1])
+
+    grid = (B, HC // tc)
+    out_spec = pl.BlockSpec((1, 2 * tc, W), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wrapped(a_hbm, d_hbm, out, band_a, band_d, sem):
+        _synthesis_kernel(
+            a_hbm, d_hbm, out.at[0], band_a, band_d, sem,
+            tc=tc, hc=HC, wc=W, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
+            axis_rows=True)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 2 * HC, W), cA.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tc + hl + hr, W), jnp.float32),
+            pltpu.VMEM((tc + hl + hr, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(cA, cD)
+
+
+def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str,
+                       interpret: bool | None = None):
+    """Single-level 2-D periodization synthesis from four (B, HC, WC)
+    subbands -> (B, 2HC, 2WC).  Row-axis synthesis via the Pallas kernel;
+    the column axis reuses the same kernel on transposed data (XLA fuses the
+    transposes into the surrounding copies)."""
+    # columns first: synthesize along the W axis by transposing
+    a0 = idwt_rows_pallas(jnp.swapaxes(ll, 1, 2), jnp.swapaxes(lh, 1, 2),
+                          wavelet, interpret=interpret)
+    d0 = idwt_rows_pallas(jnp.swapaxes(hl, 1, 2), jnp.swapaxes(hh, 1, 2),
+                          wavelet, interpret=interpret)
+    a0 = jnp.swapaxes(a0, 1, 2)
+    d0 = jnp.swapaxes(d0, 1, 2)
+    return idwt_rows_pallas(a0, d0, wavelet, interpret=interpret)
+
+
+def wavedec2_pallas(x, wavelet: str, level: int,
+                    interpret: bool | None = None):
+    """Multi-level analysis; returns [cA, (hl, lh, hh) coarse->fine] with
+    subbands shaped (B, h, w) — pywt ordering (hl='da'=cH)."""
+    coeffs = []
+    a = x
+    for _ in range(level):
+        ll, hl, lh, hh = dwt2_level_pallas(a, wavelet, interpret=interpret)
+        coeffs.append((hl, lh, hh))
+        a = ll
+    return [a] + coeffs[::-1]
+
+
+def waverec2_pallas(coeffs, wavelet: str, interpret: bool | None = None):
+    a = coeffs[0]
+    for (hl, lh, hh) in coeffs[1:]:
+        a = idwt2_level_pallas(a, hl, lh, hh, wavelet, interpret=interpret)
+    return a

@@ -62,6 +62,18 @@ class PruneStats:
         return {l.layer_name: l.pruned_count for l in self.layers}
 
 
+def resolve_param_key(params: dict, layer_name: str) -> str:
+    """Accept either tensor keys ('...convolution.weight') or module names
+    ('...convolution' — the reference's log.csv convention) when replaying a
+    budget onto a param dict."""
+    if layer_name in params:
+        return layer_name
+    alt = layer_name + ".weight"
+    if alt in params:
+        return alt
+    raise KeyError(layer_name)
+
+
 def is_conv_kernel(name: str, arr) -> bool:
     """Default layer filter: 4-D conv kernels, the reference's nn.Conv2d-only
     scope (/root/reference/ResNet/dwt_pruning.py:155-156)."""

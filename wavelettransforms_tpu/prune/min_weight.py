@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import threshold as th
-from .api import LayerPruneStats, PruneStats
+from .api import LayerPruneStats, PruneStats, resolve_param_key
 
 
 @functools.partial(jax.jit, static_argnames=("prune_count",))
@@ -50,12 +50,13 @@ def min_weight_pruning(params: dict, selective_stats: PruneStats | None = None,
     )
     new_params = dict(params)
     for name in layer_names:
-        w = jnp.asarray(params[name])
+        key = resolve_param_key(params, name)
+        w = jnp.asarray(params[key])
         total = int(w.size)
         count = int(total * prune_fraction)
         pruned = min_weight_prune_tensor(w, count)
         nz = total - int(th.exact_zero_count(pruned))
-        new_params[name] = pruned
+        new_params[key] = pruned
         stats.layers.append(LayerPruneStats(
             layer_name=name, original_param_count=total,
             non_zero_params=nz, pruned_count=total - nz,

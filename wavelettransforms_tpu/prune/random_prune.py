@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import threshold as th
-from .api import LayerPruneStats, PruneStats
+from .api import LayerPruneStats, PruneStats, resolve_param_key
 
 
 @functools.partial(jax.jit, static_argnames=("prune_count",))
@@ -32,12 +32,13 @@ def random_pruning(params: dict, selective_stats: PruneStats,
     )
     new_params = dict(params)
     for name, count in counts.items():
-        w = jnp.asarray(params[name])
+        pkey = resolve_param_key(params, name)
+        w = jnp.asarray(params[pkey])
         key, sub = jax.random.split(key)
         pruned = random_prune_tensor(sub, w, int(count))
         total = int(w.size)
         nz = total - int(th.exact_zero_count(pruned))
-        new_params[name] = pruned
+        new_params[pkey] = pruned
         stats.layers.append(LayerPruneStats(
             layer_name=name, original_param_count=total,
             non_zero_params=nz, pruned_count=total - nz,
