@@ -2,40 +2,32 @@ import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 from wavelettransforms_tpu.ops.pallas import filterbank as fb
 from wavelettransforms_tpu.ops import dwt_jax as dj
+from wavelettransforms_tpu.utils.profiling import chain_bench
 
 x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4096, 4096)).astype(np.float32))
 nbytes = x.size * 4
 
-t0=time.perf_counter()
-ll, hl, lh, hh = fb.dwt2_level_pallas(x, 'bior4.4')
-aa, (da, ad, dd) = dj.dwt2(x, 'bior4.4')
-e = max(float(jnp.max(jnp.abs(a-b))) for a,b in ((ll,aa),(hl,da),(lh,ad),(hh,dd)))
-print(f'TPU analysis err vs f32 XLA path: {e:.3e}  (setup {time.perf_counter()-t0:.0f}s)', flush=True)
-
-def bench_chain(f, x, n1=5, n2=25):
-    z = f(x); _ = float(jnp.ravel(jax.tree_util.tree_leaves(z)[0])[0])
-    def run(n):
-        t0 = time.perf_counter()
-        z = x
-        for _ in range(n):
-            z = f(z)
-        _ = float(jnp.ravel(jax.tree_util.tree_leaves(z)[0])[0])
-        return time.perf_counter() - t0
-    t1, t2 = run(n1), run(n2)
-    return (t2 - t1) / (n2 - n1)
-
 for wv in ('bior4.4', 'haar'):
+    t0 = time.perf_counter()
     roundtrip = jax.jit(lambda v, w=wv: fb.idwt2_level_pallas(*fb.dwt2_level_pallas(v, w), w))
-    t = bench_chain(roundtrip, x)
-    print(f"pallas {wv} L1 roundtrip: {t*1e3:.3f} ms -> {2*2*nbytes/t/1e9:.1f} GB/s", flush=True)
+    t = chain_bench(roundtrip, x)
+    print(f"pallas {wv} L1 roundtrip 4096^2: {t*1e3:.3f} ms -> {2*2*nbytes/t/1e9:.1f} GB/s (setup {time.perf_counter()-t0:.0f}s)", flush=True)
 
-# analysis-only timing via chained self-feeding: feed ll back (2048->...) not same shape;
-# instead chain analysis+cheap recombine to keep shape: use concat of subbands
-def fwd_keep(v):
-    l1, h1, g1, k1 = fb.dwt2_level_pallas(v, 'bior4.4')
-    top = jnp.concatenate([l1, g1], axis=-1)
-    bot = jnp.concatenate([h1, k1], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
-f = jax.jit(fwd_keep)
-t = bench_chain(f, x)
-print(f"pallas analysis+pack: {t*1e3:.3f} ms -> {2*nbytes/t/1e9:.1f} GB/s", flush=True)
+# multi-level L3
+t0 = time.perf_counter()
+rt3 = jax.jit(lambda v: fb.waverec2_pallas(fb.wavedec2_pallas(v, 'bior4.4', 3), 'bior4.4'))
+t = chain_bench(rt3, x)
+print(f"pallas bior4.4 L3 roundtrip: {t*1e3:.3f} ms -> {2*2*nbytes*1.33/t/1e9:.1f} GB/s eff (setup {time.perf_counter()-t0:.0f}s)", flush=True)
+
+# XLA engine reference point (f32 precision) for the same op
+t0 = time.perf_counter()
+rtx = jax.jit(lambda v: dj.waverec2_packed(dj.wavedec2_packed(v[0], 'bior4.4', 1), 'bior4.4', 1, 4096, 4096)[None])
+t = chain_bench(rtx, x)
+print(f"XLA-f32 bior4.4 L1 roundtrip: {t*1e3:.3f} ms -> {2*2*nbytes/t/1e9:.1f} GB/s (setup {time.perf_counter()-t0:.0f}s)", flush=True)
+
+# tiny-batch ResNet-layer path (XLA matmul): chain roundtrip
+xb = jnp.asarray(np.random.default_rng(1).standard_normal((512*512, 3, 3)).astype(np.float32))
+f = jax.jit(lambda v: dj.waverec2_packed(dj.wavedec2_packed(v, 'haar', 1), 'haar', 1, 3, 3))
+t = chain_bench(f, xb)
+print(f"tiny-batch haar roundtrip: {t*1e3:.3f} ms -> {2*2*xb.size*4/t/1e9:.1f} GB/s", flush=True)
+print("DONE", flush=True)

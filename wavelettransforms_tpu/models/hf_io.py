@@ -43,12 +43,27 @@ def _find_model_dir(path: str) -> str:
     raise FileNotFoundError(f"no {MODEL_FILE} under {path}")
 
 
-def load_torch_state(path: str) -> dict[str, np.ndarray]:
-    """Load a checkpoint dir (or .safetensors file) to {name: array}."""
-    from safetensors.numpy import load_file
+def load_torch_state(path: str, prefer_native: bool = True
+                     ) -> dict[str, np.ndarray]:
+    """Load a checkpoint dir (or .safetensors file) to {name: array}.
 
+    Uses the C++ mmap runtime (zero-copy reads) when built, falling back to
+    the python safetensors package.  Arrays from the native path are
+    copy-on-materialize views detached before the handle closes.
+    """
     if os.path.isdir(path):
         path = os.path.join(_find_model_dir(path), MODEL_FILE)
+    if prefer_native:
+        try:
+            from ..runtime import native
+
+            if native.available():
+                with native.SafetensorsFile(path) as f:
+                    return f.load_all(copy=True)
+        except Exception:
+            pass  # fall back to the python reader
+    from safetensors.numpy import load_file
+
     return dict(load_file(path))
 
 
