@@ -1,0 +1,117 @@
+"""Benchmark entry point (driver artifact).
+
+Measures the north-star metrics (BASELINE.json): DWT+IDWT filter-bank
+throughput per chip and the full ResNet-18 checkpoint encode time, on
+whatever backend is available (the real TPU chip under the driver).
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Detail lines go to stderr.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the ratio is measured against this framework's own XLA-conv path on the same
+chip — i.e. the speedup the hand-written Pallas kernels deliver over the
+compiler baseline for the same operation.
+
+Timing method: chained data-dependent dispatch + host read with two-length
+slope (this host's tunnel makes block_until_ready unreliable; see
+utils/profiling.chain_bench).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from wavelettransforms_tpu.ops import dwt_jax as dj
+    from wavelettransforms_tpu.ops.pallas import filterbank as fb
+    from wavelettransforms_tpu.utils.profiling import chain_bench
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend: {backend} ({jax.devices()})")
+
+    # ---------------- filter-bank roundtrip, 4096^2 (config 4 shape) -------
+    N = 4096
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, N, N)).astype(np.float32))
+    nbytes = x.size * 4
+    wavelet = "bior4.4"
+
+    t0 = time.time()
+    if on_tpu:
+        # two separately-jitted (and separately compile-cached) programs,
+        # chained at the python level — keeps each Mosaic compile small.
+        roundtrip = lambda v: fb.idwt2_level_pallas(
+            *fb.dwt2_level_pallas(v, wavelet), wavelet)
+    else:
+        roundtrip = jax.jit(lambda v: dj.waverec2_packed(
+            dj.wavedec2_packed(v[0], wavelet, 1), wavelet, 1, N, N)[None])
+    t_pallas = chain_bench(roundtrip, x)
+    gbs = 2 * 2 * nbytes / t_pallas / 1e9
+    log(f"fused roundtrip {wavelet} L1 {N}^2: {t_pallas*1e3:.3f} ms "
+        f"-> {gbs:.1f} GB/s (setup {time.time()-t0:.0f}s)")
+
+    # XLA-conv baseline for the same op
+    t0 = time.time()
+    xla_roundtrip = jax.jit(lambda v: dj.waverec2_packed(
+        dj.wavedec2_packed(v[0], wavelet, 1), wavelet, 1, N, N)[None])
+    t_xla = chain_bench(xla_roundtrip, x)
+    log(f"XLA-conv roundtrip: {t_xla*1e3:.3f} ms -> "
+        f"{2*2*nbytes/t_xla/1e9:.1f} GB/s (setup {time.time()-t0:.0f}s)")
+
+    # ---------------- ResNet-18 checkpoint gang encode ---------------------
+    from wavelettransforms_tpu.prune.dwt_prune import _gang_encode
+
+    rng = np.random.default_rng(1)
+    shapes = ([(64, 3, 7, 7)] + [(64, 64, 3, 3)] * 4
+              + [(128, 64, 3, 3), (128, 128, 3, 3), (128, 64, 1, 1)]
+              + [(128, 128, 3, 3)] * 2
+              + [(256, 128, 3, 3), (256, 256, 3, 3), (256, 128, 1, 1)]
+              + [(256, 256, 3, 3)] * 2
+              + [(512, 256, 3, 3), (512, 512, 3, 3), (512, 256, 1, 1)]
+              + [(512, 512, 3, 3)] * 2)
+    tensors = tuple(jnp.asarray(rng.standard_normal(s).astype(np.float32))
+                    for s in shapes)
+    n_params = sum(int(np.prod(s)) for s in shapes)
+    log(f"ResNet-18 stack: {len(shapes)} conv layers, {n_params} params")
+
+    def encode(ts):
+        out, _ = _gang_encode(ts, "bior4.4", 5, "periodization", 50.0)
+        return out
+
+    t0 = time.time()
+    t_encode = chain_bench(jax.jit(encode), tensors, n1=3, n2=13)
+    log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
+        f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
+
+    result = {
+        "metric": "dwt_idwt_fused_roundtrip_throughput",
+        "value": round(gbs, 1),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(t_xla / t_pallas, 2),
+        "detail": {
+            "backend": backend,
+            "roundtrip_ms_4096x4096_bior44": round(t_pallas * 1e3, 3),
+            "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
+            "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),
+            "resnet18_prunable_params": n_params,
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

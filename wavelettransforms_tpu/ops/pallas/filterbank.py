@@ -297,20 +297,111 @@ def idwt_rows_pallas(cA, cD, wavelet: str, tc: int = 128,
     )(cA, cD)
 
 
-def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str,
+def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
+                        b_ll, b_hl, b_lh, b_hh, sem, *,
+                        tc: int, hc: int, wc: int, F: int,
+                        lo_rev, hi_rev):
+    """Fused 2-D synthesis for one coefficient row band: W-axis synthesis
+    (transposed, lane-circular) then row-axis synthesis with halo rows —
+    a single HBM read + write per level."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    off = F // 2
+    hl_n = _aligned_halo((off + 1) // 2)
+    hr_n = _aligned_halo((F - off) // 2)
+    r0 = i * tc
+
+    def fetch(hbm, buf, slot0):
+        cps = []
+        if hl_n:
+            top = pl.multiple_of(
+                jax.lax.rem(r0 - hl_n + hc, jnp.int32(hc)), 8)
+            cps.append(pltpu.make_async_copy(
+                hbm.at[b, pl.ds(top, hl_n), :], buf.at[pl.ds(0, hl_n), :],
+                sem.at[slot0]))
+        if hr_n:
+            bot = pl.multiple_of(jax.lax.rem(r0 + tc, jnp.int32(hc)), 8)
+            cps.append(pltpu.make_async_copy(
+                hbm.at[b, pl.ds(bot, hr_n), :],
+                buf.at[pl.ds(hl_n + tc, hr_n), :],
+                sem.at[slot0 + 1]))
+        cps.append(pltpu.make_async_copy(
+            hbm.at[b, pl.ds(pl.multiple_of(r0, 8), tc), :],
+            buf.at[pl.ds(hl_n, tc), :],
+            sem.at[slot0 + 2]))
+        for c in cps:
+            c.start()
+        return cps
+
+    cps = (fetch(ll_hbm, b_ll, 0) + fetch(hl_hbm, b_hl, 3)
+           + fetch(lh_hbm, b_lh, 6) + fetch(hh_hbm, b_hh, 9))
+    for c in cps:
+        c.wait()
+
+    def wsynth(a_band, d_band):
+        # synthesis along the W axis: transpose so W sits on sublanes, then
+        # upsample + circular extension + F-tap pass, transpose back.
+        at = a_band[...].T  # (wc, R)
+        dt = d_band[...].T
+        ua = _upsample_rows(at)  # (2wc, R)
+        ud = _upsample_rows(dt)
+        n2 = 2 * wc
+
+        def extend(u):
+            return jnp.concatenate(
+                [u[n2 - off:, :], u, u[: F - 1 - off, :]], axis=0)
+
+        xt = _synth_pass_rows(extend(ua), extend(ud), lo_rev, hi_rev, n2)
+        return xt.T  # (R, 2wc)
+
+    a0 = wsynth(b_ll, b_lh)
+    d0 = wsynth(b_hl, b_hh)
+    ua = _upsample_rows(a0)
+    ud = _upsample_rows(d0)
+    out_ref[...] = _synth_pass_rows(ua, ud, lo_rev, hi_rev, 2 * tc,
+                                    start=2 * hl_n - off)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret"))
+def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
                        interpret: bool | None = None):
     """Single-level 2-D periodization synthesis from four (B, HC, WC)
-    subbands -> (B, 2HC, 2WC).  Row-axis synthesis via the Pallas kernel;
-    the column axis reuses the same kernel on transposed data (XLA fuses the
-    transposes into the surrounding copies)."""
-    # columns first: synthesize along the W axis by transposing
-    a0 = idwt_rows_pallas(jnp.swapaxes(ll, 1, 2), jnp.swapaxes(lh, 1, 2),
-                          wavelet, interpret=interpret)
-    d0 = idwt_rows_pallas(jnp.swapaxes(hl, 1, 2), jnp.swapaxes(hh, 1, 2),
-                          wavelet, interpret=interpret)
-    a0 = jnp.swapaxes(a0, 1, 2)
-    d0 = jnp.swapaxes(d0, 1, 2)
-    return idwt_rows_pallas(a0, d0, wavelet, interpret=interpret)
+    subbands -> (B, 2HC, 2WC), as ONE fused Pallas kernel."""
+    w = _as_wavelet(wavelet)
+    interpret = INTERPRET if interpret is None else interpret
+    B, HC, WC = ll.shape
+    F = w.rec_len
+    off = F // 2
+    tc = min(tc, HC)
+    assert HC % tc == 0
+    hl_n = _aligned_halo((off + 1) // 2)
+    hr_n = _aligned_halo((F - off) // 2)
+    assert hl_n <= HC and hr_n <= HC, "subband too short for halo wrap"
+    lo_rev = tuple(float(v) for v in w.rec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.rec_hi[::-1])
+
+    grid = (B, HC // tc)
+    out_spec = pl.BlockSpec((1, 2 * tc, 2 * WC), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    band = pltpu.VMEM((tc + hl_n + hr_n, WC), jnp.float32)
+
+    def wrapped(ll_h, hl_h, lh_h, hh_h, out, b_ll, b_hl, b_lh, b_hh, sem):
+        _synthesis2d_kernel(
+            ll_h, hl_h, lh_h, hh_h, out.at[0], b_ll, b_hl, b_lh, b_hh, sem,
+            tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 2 * HC, 2 * WC), ll.dtype),
+        scratch_shapes=[band, band, band, band,
+                        pltpu.SemaphoreType.DMA((12,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(ll, hl, lh, hh)
 
 
 def wavedec2_pallas(x, wavelet: str, level: int,

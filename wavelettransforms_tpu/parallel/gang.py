@@ -1,0 +1,67 @@
+"""Multi-device gang encode of whole checkpoints.
+
+The TPU-native analog of "pmap'd sweep over a checkpoint" (BASELINE.json
+north star): every conv tensor is sharded along its output-channel axis over
+the mesh's data axis and the entire multi-layer encode runs as one jitted
+program — XLA/GSPMD inserts the collectives the global per-layer percentile
+needs (the threshold semantics stay exactly one-threshold-per-tensor).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..prune.api import LayerPruneStats, PruneStats, is_conv_kernel
+from ..prune.dwt_prune import dwt_prune_tensor
+from ..ops import threshold as th
+
+
+def _channel_sharding(mesh: Mesh, shape, axis_name: str):
+    """Shard axis 0 (out channels) when it divides the mesh axis."""
+    n = mesh.shape[axis_name]
+    if len(shape) >= 1 and shape[0] % n == 0:
+        return NamedSharding(mesh, P(axis_name))
+    return NamedSharding(mesh, P())
+
+
+def gang_encode_sharded(params: dict, wavelet: str, level: int,
+                        percentile: float, mesh: Mesh,
+                        axis_name: str = "data",
+                        mode: str = "periodization",
+                        layer_filter=is_conv_kernel):
+    """Selective DWT pruning of ``params`` with tensors sharded over the
+    mesh.  Identical semantics to prune.wavelet_pruning (same thresholds,
+    same stats); returns (new_params sharded, PruneStats)."""
+    names = [n for n, v in params.items() if layer_filter(n, v)]
+    placed = tuple(
+        jax.device_put(jnp.asarray(params[n]),
+                       _channel_sharding(mesh, params[n].shape, axis_name))
+        for n in names)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("wavelet", "level", "mode",
+                                        "percentile"))
+    def encode(tensors, wavelet, level, mode, percentile):
+        outs, zeros = [], []
+        for t in tensors:
+            pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
+            outs.append(pruned)
+            zeros.append(th.exact_zero_count(pruned))
+        return tuple(outs), tuple(zeros)
+
+    pruned, zeros = encode(placed, wavelet, level, mode, float(percentile))
+    stats = PruneStats(phase="selective", wavelet=wavelet, level=level,
+                       threshold=percentile / 100.0)
+    new_params = dict(params)
+    for n, t, z in zip(names, pruned, zeros):
+        new_params[n] = t
+        total = int(t.size)
+        z = int(z)
+        stats.layers.append(LayerPruneStats(
+            layer_name=n, original_param_count=total,
+            non_zero_params=total - z, pruned_count=z))
+    return new_params, stats
