@@ -47,3 +47,20 @@ def test_multirow_grid(rng):
     aa, (da, ad, dd) = dj.dwt2(x, "db6")
     np.testing.assert_allclose(np.asarray(ll), np.asarray(aa), atol=3e-6)
     np.testing.assert_allclose(np.asarray(hh), np.asarray(dd), atol=3e-6)
+
+
+def test_synthesis_fallback_small_width(rng):
+    # WC=32 not divisible by 64 -> transpose fallback path in the synthesis
+    x = jnp.asarray(rng.standard_normal((1, 64, 64)).astype(np.float32))
+    subs = fb.dwt2_level_pallas(x, "db2", interpret=True)
+    rec = fb.idwt2_level_pallas(*subs, "db2", interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=3e-6)
+
+
+def test_idwt_rows_axis_kernel(rng):
+    # the single-axis synthesis kernel used by tests/tools
+    cA = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    cD = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    out = fb.idwt_rows_pallas(cA, cD, "db4", interpret=True)
+    want = dj.idwt(cA, cD, "db4", axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-6)

@@ -49,6 +49,22 @@ def per_layer_zero_census(state: dict, threshold: float = NEAR_ZERO):
     return out
 
 
+def model_size_bytes(state: dict, dense: bool = True) -> int:
+    """Checkpoint size: dense bytes, or the nnz-compressed estimate
+    (values + int32 indices for near-zero-pruned tensors) when dense=False.
+    The reference discusses model size as a metric without implementing it
+    (README.md:131-134); here it is first-class."""
+    total = 0
+    for p in state.values():
+        arr = np.asarray(p)
+        if dense or arr.ndim <= 1:
+            total += arr.nbytes
+        else:
+            nnz = int(np.sum(np.abs(arr) >= NEAR_ZERO))
+            total += nnz * (arr.itemsize + 4)
+    return total
+
+
 def confusion_matrix(all_labels, all_preds, num_classes: int):
     """Confusion matrix (the deprecated suite's extra metric,
     /root/reference/ResNet/testing_suite/Deprecated/eval_model.py)."""

@@ -68,7 +68,8 @@ def _col_pass(band, lo_rev, hi_rev, out_rows: int, shift: int = 0):
 
 def _row_pass(x, lo_rev, hi_rev, halo: int):
     """Periodization transform along the LANE axis via lane-circular concat +
-    transpose + deinterleaved column pass + transpose back."""
+    transpose + deinterleaved column pass + transpose back (fallback path
+    for widths not divisible by the MXU block)."""
     rows, cols = x.shape
     out_cols = cols // 2
     if halo:
@@ -82,6 +83,46 @@ def _row_pass(x, lo_rev, hi_rev, halo: int):
     return lo, hi
 
 
+# MXU row-pass block sizes: each 128-wide output column block consumes a
+# 256(+2*halo)-wide input slice through a banded analysis matrix — dense
+# little matmuls instead of lane shuffles/transposes.
+_MXU_OUT = 128
+_MXU_IN = 256
+
+
+def _row_analysis_matrices(w: Wavelet):
+    """Banded per-block analysis operators T_lo/T_hi, shape
+    (256 + 2*halo, 128): out[:, 128*j + c] = ext_block_j @ T[:, c]."""
+    F = w.dec_len
+    off = F // 2
+    hp = F // 2 - 1
+    T = np.zeros((_MXU_IN + 2 * hp, _MXU_OUT, 2), np.float32)
+    for c in range(_MXU_OUT):
+        for jp in range(F):
+            r = 2 * c + off + hp - jp
+            T[r, c, 0] += w.dec_lo[jp]
+            T[r, c, 1] += w.dec_hi[jp]
+    return T[..., 0], T[..., 1]
+
+
+def _row_pass_mxu(x, Tlo, Thi, hp: int):
+    """Lane-axis analysis as a sequence of banded block matmuls (MXU)."""
+    rows, cols = x.shape
+    if hp:
+        ext = jnp.concatenate([x[:, cols - hp:], x, x[:, :hp]], axis=1)
+    else:
+        ext = x
+    los, his = [], []
+    for j0 in range(cols // _MXU_IN):
+        blk = jax.lax.slice_in_dim(
+            ext, _MXU_IN * j0, _MXU_IN * j0 + _MXU_IN + 2 * hp, axis=1)
+        los.append(jnp.dot(blk, Tlo, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32))
+        his.append(jnp.dot(blk, Thi, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32))
+    return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+
+
 def _aligned_halo(halo: int) -> int:
     """HBM DMA slices must be (8, 128)-tile aligned: round the halo row count
     up to a multiple of 8 (the surplus is absorbed by a static shift in the
@@ -91,7 +132,7 @@ def _aligned_halo(halo: int) -> int:
 
 def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
                      tm: int, h: int, w: int, halo: int,
-                     lo_rev, hi_rev):
+                     lo_rev, hi_rev, tlo_ref=None, thi_ref=None):
     b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * tm
@@ -119,8 +160,14 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     x = band[...]
     a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
     # pywt naming: hl = 'da' (detail along rows), lh = 'ad' (detail cols)
-    ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
-    hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
+    if tlo_ref is not None:
+        Tlo = tlo_ref[...]
+        Thi = thi_ref[...]
+        ll, lh = _row_pass_mxu(a0, Tlo, Thi, halo)
+        hl, hh = _row_pass_mxu(d0, Tlo, Thi, halo)
+    else:
+        ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
+        hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
     ll_ref[...] = ll
     hl_ref[...] = hl
     lh_ref[...] = lh
@@ -152,18 +199,37 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 256,
     out_spec = pl.BlockSpec((1, tm // 2, W // 2), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def wrapped(x_hbm, ll, hl, lh, hh, band, sem):
-        # out refs have a leading block dim of 1; write without it
-        _analysis_kernel(
-            x_hbm,
-            ll.at[0], hl.at[0], lh.at[0], hh.at[0],
-            band, sem, tm=tm, h=H, w=W, halo=halo,
-            lo_rev=lo_rev, hi_rev=hi_rev)
+    use_mxu = W % _MXU_IN == 0
+
+    if use_mxu:
+        Tlo_np, Thi_np = _row_analysis_matrices(w)
+
+        def wrapped(x_hbm, tlo, thi, ll, hl, lh, hh, band, sem):
+            _analysis_kernel(
+                x_hbm,
+                ll.at[0], hl.at[0], lh.at[0], hh.at[0],
+                band, sem, tm=tm, h=H, w=W, halo=halo,
+                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tlo, thi_ref=thi)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args = (x, jnp.asarray(Tlo_np), jnp.asarray(Thi_np))
+    else:
+        def wrapped(x_hbm, ll, hl, lh, hh, band, sem):
+            _analysis_kernel(
+                x_hbm,
+                ll.at[0], hl.at[0], lh.at[0], hh.at[0],
+                band, sem, tm=tm, h=H, w=W, halo=halo,
+                lo_rev=lo_rev, hi_rev=hi_rev)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        args = (x,)
 
     ll, hl, lh, hh = pl.pallas_call(
         wrapped,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
@@ -173,7 +239,7 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 256,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(x)
+    )(*args)
     return ll, hl, lh, hh
 
 
@@ -297,10 +363,73 @@ def idwt_rows_pallas(cA, cD, wavelet: str, tc: int = 128,
     )(cA, cD)
 
 
+def _row_synthesis_matrices(w: Wavelet, hpc: int):
+    """Banded per-block synthesis operators S_lo/S_hi for the lane axis:
+    out[:, 128*j0 + c] = a_slice_j0 @ S_lo[:, c] + d_slice_j0 @ S_hi[:, c],
+    with slices of width 64 + 2*hpc from the halo-extended coefficients.
+
+    S[m', c] = rec_rev[2m' - 2*hpc - c + off] (when in range)."""
+    F = w.rec_len
+    off = F // 2
+    S = np.zeros((64 + 2 * hpc, _MXU_OUT, 2), np.float32)
+    lo_rev = w.rec_lo[::-1]
+    hi_rev = w.rec_hi[::-1]
+    for mp in range(64 + 2 * hpc):
+        for c in range(_MXU_OUT):
+            idx = 2 * mp - 2 * hpc - c + off
+            if 0 <= idx < F:
+                S[mp, c, 0] += lo_rev[idx]
+                S[mp, c, 1] += hi_rev[idx]
+    return S[..., 0], S[..., 1]
+
+
+def _wsynth_mxu(a, d, S_lo, S_hi, hpc: int):
+    """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> (R, 2WC)."""
+    rows, wc = a.shape
+    a_ext = jnp.concatenate([a[:, wc - hpc:], a, a[:, :hpc]], axis=1)
+    d_ext = jnp.concatenate([d[:, wc - hpc:], d, d[:, :hpc]], axis=1)
+    outs = []
+    for j0 in range(2 * wc // _MXU_OUT):
+        sa = jax.lax.slice_in_dim(a_ext, 64 * j0, 64 * j0 + 64 + 2 * hpc,
+                                  axis=1)
+        sd = jax.lax.slice_in_dim(d_ext, 64 * j0, 64 * j0 + 64 + 2 * hpc,
+                                  axis=1)
+        outs.append(
+            jnp.dot(sa, S_lo, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(sd, S_hi, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc: int, hl_n: int,
+                         off: int):
+    """Sublane-axis synthesis without upsampling: the even/odd output row
+    phases are F/2-tap passes over the coefficient band, interleaved at the
+    end via a sublane reshape."""
+    F = len(lo_rev)
+    cols = a0.shape[1]
+    phases = []
+    for rho in (0, 1):
+        acc = None
+        for j in range(F):
+            if (j + rho - off) % 2:
+                continue
+            delta = (j + rho - off) // 2
+            start = hl_n + delta
+            pa = jax.lax.slice_in_dim(a0, start, start + tc, axis=0) * lo_rev[j]
+            pd = jax.lax.slice_in_dim(d0, start, start + tc, axis=0) * hi_rev[j]
+            term = pa + pd
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    return jnp.stack(phases, axis=1).reshape(2 * tc, cols)
+
+
 def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
                         b_ll, b_hl, b_lh, b_hh, sem, *,
                         tc: int, hc: int, wc: int, F: int,
-                        lo_rev, hi_rev):
+                        lo_rev, hi_rev, slo_ref=None, shi_ref=None,
+                        hpc: int = 0):
     """Fused 2-D synthesis for one coefficient row band: W-axis synthesis
     (transposed, lane-circular) then row-axis synthesis with halo rows —
     a single HBM read + write per level."""
@@ -338,28 +467,32 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
     for c in cps:
         c.wait()
 
-    def wsynth(a_band, d_band):
-        # synthesis along the W axis: transpose so W sits on sublanes, then
-        # upsample + circular extension + F-tap pass, transpose back.
-        at = a_band[...].T  # (wc, R)
-        dt = d_band[...].T
-        ua = _upsample_rows(at)  # (2wc, R)
-        ud = _upsample_rows(dt)
-        n2 = 2 * wc
+    if slo_ref is not None:
+        S_lo = slo_ref[...]
+        S_hi = shi_ref[...]
+        a0 = _wsynth_mxu(b_ll[...], b_lh[...], S_lo, S_hi, hpc)
+        d0 = _wsynth_mxu(b_hl[...], b_hh[...], S_lo, S_hi, hpc)
+    else:
+        def wsynth(a_band, d_band):
+            # transpose fallback: W on sublanes, upsample + circular ext +
+            # F-tap pass, transpose back.
+            at = a_band[...].T  # (wc, R)
+            dt = d_band[...].T
+            ua = _upsample_rows(at)  # (2wc, R)
+            ud = _upsample_rows(dt)
+            n2 = 2 * wc
 
-        def extend(u):
-            return jnp.concatenate(
-                [u[n2 - off:, :], u, u[: F - 1 - off, :]], axis=0)
+            def extend(u):
+                return jnp.concatenate(
+                    [u[n2 - off:, :], u, u[: F - 1 - off, :]], axis=0)
 
-        xt = _synth_pass_rows(extend(ua), extend(ud), lo_rev, hi_rev, n2)
-        return xt.T  # (R, 2wc)
+            xt = _synth_pass_rows(extend(ua), extend(ud), lo_rev, hi_rev, n2)
+            return xt.T  # (R, 2wc)
 
-    a0 = wsynth(b_ll, b_lh)
-    d0 = wsynth(b_hl, b_hh)
-    ua = _upsample_rows(a0)
-    ud = _upsample_rows(d0)
-    out_ref[...] = _synth_pass_rows(ua, ud, lo_rev, hi_rev, 2 * tc,
-                                    start=2 * hl_n - off)
+        a0 = wsynth(b_ll, b_lh)
+        d0 = wsynth(b_hl, b_hh)
+    out_ref[...] = _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc, hl_n,
+                                        off)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret"))
@@ -385,15 +518,37 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
                             memory_space=pltpu.VMEM)
     band = pltpu.VMEM((tc + hl_n + hr_n, WC), jnp.float32)
 
-    def wrapped(ll_h, hl_h, lh_h, hh_h, out, b_ll, b_hl, b_lh, b_hh, sem):
-        _synthesis2d_kernel(
-            ll_h, hl_h, lh_h, hh_h, out.at[0], b_ll, b_hl, b_lh, b_hh, sem,
-            tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev)
+    use_mxu = WC % 64 == 0
+    if use_mxu:
+        hpc = F // 2
+        S_lo_np, S_hi_np = _row_synthesis_matrices(w, hpc)
+
+        def wrapped(ll_h, hl_h, lh_h, hh_h, slo, shi, out,
+                    b_ll, b_hl, b_lh, b_hh, sem):
+            _synthesis2d_kernel(
+                ll_h, hl_h, lh_h, hh_h, out.at[0],
+                b_ll, b_hl, b_lh, b_hh, sem,
+                tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
+                slo_ref=slo, shi_ref=shi, hpc=hpc)
+
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
+        args = (ll, hl, lh, hh, jnp.asarray(S_lo_np), jnp.asarray(S_hi_np))
+    else:
+        def wrapped(ll_h, hl_h, lh_h, hh_h, out,
+                    b_ll, b_hl, b_lh, b_hh, sem):
+            _synthesis2d_kernel(
+                ll_h, hl_h, lh_h, hh_h, out.at[0],
+                b_ll, b_hl, b_lh, b_hh, sem,
+                tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        args = (ll, hl, lh, hh)
 
     return pl.pallas_call(
         wrapped,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, 2 * HC, 2 * WC), ll.dtype),
         scratch_shapes=[band, band, band, band,
@@ -401,7 +556,7 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(ll, hl, lh, hh)
+    )(*args)
 
 
 def wavedec2_pallas(x, wavelet: str, level: int,

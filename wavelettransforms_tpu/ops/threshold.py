@@ -41,17 +41,30 @@ def percentile_threshold_value(x, percentile: float):
 
     ``percentile`` must be a static python float (rank resolution happens
     host-side for exact numpy parity; lerp for fractional ranks is computed in
-    the array dtype, within 1 ulp of numpy's mixed-precision lerp)."""
-    flat = jnp.abs(x).ravel()
-    n = flat.size
-    s = jnp.sort(flat)
+    the array dtype, within 1 ulp of numpy's mixed-precision lerp).
+
+    Large float32 arrays use exact byte-radix selection (4 bincount passes,
+    bandwidth-bound) instead of a full sort."""
+    n = x.size
     rank = numpy_virtual_rank(float(percentile), n, x.dtype)
     k = int(rank)
     frac = rank - k
-    a = s[k]
-    if frac == 0.0:
-        return a
-    b = s[min(k + 1, n - 1)]
+    if x.dtype == jnp.float32 and n >= (1 << 18):
+        from ..parallel.quantile import _bits_to_float, _kth_smallest_bits, \
+            _bits_of_abs
+
+        t = _kth_smallest_bits(_bits_of_abs(x), (k, min(k + 1, n - 1)))
+        v = _bits_to_float(t)
+        a, b = v[0], v[1]
+        if frac == 0.0:
+            return a
+    else:
+        flat = jnp.abs(x).ravel()
+        s = jnp.sort(flat)
+        a = s[k]
+        if frac == 0.0:
+            return a
+        b = s[min(k + 1, n - 1)]
     diff = b - a
     t = x.dtype.type(frac)
     # numpy's _lerp: compute from the nearer side for symmetry

@@ -29,20 +29,23 @@ def _bits_of_abs(x):
 
 
 def _kth_smallest_bits(bits, ks, axis_name=None):
-    """Radix-select the k-th smallest (0-indexed) uint32 for each k in ks.
+    """Radix-select the k-th smallest (0-indexed) uint32 for each k in ks:
+    32 bit-bisection steps, each one masked count + (optionally) a psum —
+    pure comparisons and reductions, which the TPU executes at memory
+    bandwidth (scatter-based histograms are far slower on TPU).
 
     ``bits``: local shard (flattened).  With ``axis_name``, counts are
     all-reduced so ks index into the *global* sorted order.
     """
-    ks = jnp.asarray(ks, dtype=jnp.int64 if jax.config.jax_enable_x64
-                     else jnp.int32)
+    idx_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    ks = jnp.asarray(ks, dtype=idx_dtype)
 
     def step(b, t):
         # t: (len(ks),) candidate prefixes
         t_try = t | (jnp.uint32(1) << jnp.uint32(b))
         # count of values strictly below each candidate
         cnt = jnp.sum(
-            (bits[None, :] < t_try[:, None]).astype(ks.dtype), axis=1)
+            (bits[None, :] < t_try[:, None]).astype(idx_dtype), axis=1)
         if axis_name is not None:
             cnt = lax.psum(cnt, axis_name)
         keep = cnt <= ks

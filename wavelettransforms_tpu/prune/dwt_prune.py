@@ -36,6 +36,40 @@ def clamped_level(shape, wavelet, level: int) -> int:
     return min(level, dwt_max_level(min(shape[-2:]), wavelet))
 
 
+def _pallas_eligible(shape, mode: str, axes) -> bool:
+    """Route big, nicely-shaped spatial tensors through the fused Pallas
+    kernels on TPU (identical results; the subband multiset equals the packed
+    mosaic when no mosaic padding occurs, which even dims guarantee)."""
+    if mode != "periodization" or axes != (-2, -1):
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    h, w = shape[-2], shape[-1]
+    return h % 256 == 0 and w % 256 == 0 and h * w >= (1 << 20)
+
+
+def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile):
+    from ..ops.pallas import filterbank as fb
+
+    from ..parallel.quantile import percentile_abs_pytree
+
+    lead = w.shape[:-2]
+    x = w.reshape((-1,) + w.shape[-2:]).astype(jnp.float32)
+    coeffs = fb.wavedec2_pallas(x, wavelet, level)
+    # exact numpy-parity percentile via radix selection (a full sort of a
+    # 16M-element array costs ~10x more than 32 bandwidth-bound count passes)
+    thr = percentile_abs_pytree(coeffs, float(percentile))
+    pruned = jax.tree_util.tree_map(lambda c: th.hard_threshold(c, thr),
+                                    coeffs)
+    rec = fb.waverec2_pallas(pruned, wavelet)
+    return rec.reshape(lead + w.shape[-2:]).astype(w.dtype), thr
+
+
 def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
                      mode: str = "periodization", axes=(-2, -1)):
     """Prune one weight tensor.  Returns (pruned, threshold_value).
@@ -49,6 +83,8 @@ def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
         return th.percentile_threshold(w, percentile)
     lvl = clamped_level([w.shape[axes[0]], w.shape[axes[1]]] if axes != (-2, -1)
                         else w.shape, wavelet, level)
+    if lvl > 0 and _pallas_eligible(w.shape, mode, axes):
+        return _dwt_prune_tensor_pallas(w, wavelet, lvl, percentile)
     coeffs = dj.wavedec2(w, wavelet, lvl, mode, axes=axes)
     arr, slices = dj.coeffs_to_array(coeffs, axes=axes)
     pruned_arr, thr = th.percentile_threshold(arr, percentile)
