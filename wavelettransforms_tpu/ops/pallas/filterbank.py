@@ -96,17 +96,19 @@ def _row_analysis_matrices(w: Wavelet):
     F = w.dec_len
     off = F // 2
     hp = F // 2 - 1
-    T = np.zeros((_MXU_IN + 2 * hp, _MXU_OUT, 2), np.float32)
+    T = np.zeros((_MXU_IN + 2 * hp, 2 * _MXU_OUT), np.float32)
     for c in range(_MXU_OUT):
         for jp in range(F):
             r = 2 * c + off + hp - jp
-            T[r, c, 0] += w.dec_lo[jp]
-            T[r, c, 1] += w.dec_hi[jp]
-    return T[..., 0], T[..., 1]
+            T[r, c] += w.dec_lo[jp]
+            T[r, _MXU_OUT + c] += w.dec_hi[jp]
+    return T
 
 
-def _row_pass_mxu(x, Tlo, Thi, hp: int):
-    """Lane-axis analysis as a sequence of banded block matmuls (MXU)."""
+def _row_pass_mxu(x, T, hp: int):
+    """Lane-axis analysis as banded block matmuls (MXU).  ``T`` is the fused
+    (256 + 2*hp, 256) operator with lo taps in columns [:128] and hi taps in
+    [128:] — one dot per block computes both subbands."""
     rows, cols = x.shape
     if hp:
         ext = jnp.concatenate([x[:, cols - hp:], x, x[:, :hp]], axis=1)
@@ -116,10 +118,10 @@ def _row_pass_mxu(x, Tlo, Thi, hp: int):
     for j0 in range(cols // _MXU_IN):
         blk = jax.lax.slice_in_dim(
             ext, _MXU_IN * j0, _MXU_IN * j0 + _MXU_IN + 2 * hp, axis=1)
-        los.append(jnp.dot(blk, Tlo, precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32))
-        his.append(jnp.dot(blk, Thi, precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32))
+        both = jnp.dot(blk, T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        los.append(both[:, :_MXU_OUT])
+        his.append(both[:, _MXU_OUT:])
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
 
 
@@ -161,10 +163,9 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
     # pywt naming: hl = 'da' (detail along rows), lh = 'ad' (detail cols)
     if tlo_ref is not None:
-        Tlo = tlo_ref[...]
-        Thi = thi_ref[...]
-        ll, lh = _row_pass_mxu(a0, Tlo, Thi, halo)
-        hl, hh = _row_pass_mxu(d0, Tlo, Thi, halo)
+        T = tlo_ref[...]
+        ll, lh = _row_pass_mxu(a0, T, halo)
+        hl, hh = _row_pass_mxu(d0, T, halo)
     else:
         ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
         hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
@@ -202,19 +203,18 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 256,
     use_mxu = W % _MXU_IN == 0
 
     if use_mxu:
-        Tlo_np, Thi_np = _row_analysis_matrices(w)
+        T_np = _row_analysis_matrices(w)
 
-        def wrapped(x_hbm, tlo, thi, ll, hl, lh, hh, band, sem):
+        def wrapped(x_hbm, tref, ll, hl, lh, hh, band, sem):
             _analysis_kernel(
                 x_hbm,
                 ll.at[0], hl.at[0], lh.at[0], hh.at[0],
                 band, sem, tm=tm, h=H, w=W, halo=halo,
-                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tlo, thi_ref=thi)
+                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tref)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
-        args = (x, jnp.asarray(Tlo_np), jnp.asarray(Thi_np))
+        args = (x, jnp.asarray(T_np))
     else:
         def wrapped(x_hbm, ll, hl, lh, hh, band, sem):
             _analysis_kernel(
@@ -371,34 +371,34 @@ def _row_synthesis_matrices(w: Wavelet, hpc: int):
     S[m', c] = rec_rev[2m' - 2*hpc - c + off] (when in range)."""
     F = w.rec_len
     off = F // 2
-    S = np.zeros((64 + 2 * hpc, _MXU_OUT, 2), np.float32)
+    rows = 64 + 2 * hpc
+    S = np.zeros((2 * rows, _MXU_OUT), np.float32)
     lo_rev = w.rec_lo[::-1]
     hi_rev = w.rec_hi[::-1]
-    for mp in range(64 + 2 * hpc):
+    for mp in range(rows):
         for c in range(_MXU_OUT):
             idx = 2 * mp - 2 * hpc - c + off
             if 0 <= idx < F:
-                S[mp, c, 0] += lo_rev[idx]
-                S[mp, c, 1] += hi_rev[idx]
-    return S[..., 0], S[..., 1]
+                S[mp, c] += lo_rev[idx]
+                S[rows + mp, c] += hi_rev[idx]
+    return S
 
 
-def _wsynth_mxu(a, d, S_lo, S_hi, hpc: int):
-    """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> (R, 2WC)."""
+def _wsynth_mxu(a, d, S, hpc: int):
+    """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> (R, 2WC).
+    ``S`` is the fused (2*(64+2*hpc), 128) operator (lo rows stacked over hi
+    rows) — one dot of concat([a_slice, d_slice]) per 128-wide out block."""
     rows, wc = a.shape
     a_ext = jnp.concatenate([a[:, wc - hpc:], a, a[:, :hpc]], axis=1)
     d_ext = jnp.concatenate([d[:, wc - hpc:], d, d[:, :hpc]], axis=1)
     outs = []
+    width = 64 + 2 * hpc
     for j0 in range(2 * wc // _MXU_OUT):
-        sa = jax.lax.slice_in_dim(a_ext, 64 * j0, 64 * j0 + 64 + 2 * hpc,
-                                  axis=1)
-        sd = jax.lax.slice_in_dim(d_ext, 64 * j0, 64 * j0 + 64 + 2 * hpc,
-                                  axis=1)
-        outs.append(
-            jnp.dot(sa, S_lo, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(sd, S_hi, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32))
+        sa = jax.lax.slice_in_dim(a_ext, 64 * j0, 64 * j0 + width, axis=1)
+        sd = jax.lax.slice_in_dim(d_ext, 64 * j0, 64 * j0 + width, axis=1)
+        blk = jnp.concatenate([sa, sd], axis=1)
+        outs.append(jnp.dot(blk, S, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -468,10 +468,9 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
         c.wait()
 
     if slo_ref is not None:
-        S_lo = slo_ref[...]
-        S_hi = shi_ref[...]
-        a0 = _wsynth_mxu(b_ll[...], b_lh[...], S_lo, S_hi, hpc)
-        d0 = _wsynth_mxu(b_hl[...], b_hh[...], S_lo, S_hi, hpc)
+        S = slo_ref[...]
+        a0 = _wsynth_mxu(b_ll[...], b_lh[...], S, hpc)
+        d0 = _wsynth_mxu(b_hl[...], b_hh[...], S, hpc)
     else:
         def wsynth(a_band, d_band):
             # transpose fallback: W on sublanes, upsample + circular ext +
@@ -521,19 +520,19 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
     use_mxu = WC % 64 == 0
     if use_mxu:
         hpc = F // 2
-        S_lo_np, S_hi_np = _row_synthesis_matrices(w, hpc)
+        S_np = _row_synthesis_matrices(w, hpc)
 
-        def wrapped(ll_h, hl_h, lh_h, hh_h, slo, shi, out,
+        def wrapped(ll_h, hl_h, lh_h, hh_h, sref, out,
                     b_ll, b_hl, b_lh, b_hh, sem):
             _synthesis2d_kernel(
                 ll_h, hl_h, lh_h, hh_h, out.at[0],
                 b_ll, b_hl, b_lh, b_hh, sem,
                 tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-                slo_ref=slo, shi_ref=shi, hpc=hpc)
+                slo_ref=sref, hpc=hpc)
 
         in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
-        args = (ll, hl, lh, hh, jnp.asarray(S_lo_np), jnp.asarray(S_hi_np))
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)])
+        args = (ll, hl, lh, hh, jnp.asarray(S_np))
     else:
         def wrapped(ll_h, hl_h, lh_h, hh_h, out,
                     b_ll, b_hl, b_lh, b_hh, sem):
