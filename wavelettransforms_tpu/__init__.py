@@ -17,6 +17,8 @@ plus its evaluation suite), redesigned TPU-first:
   * ``eval``      — metric engine + concurrent model evaluation harness
   * ``data``      — ImageNet flat-dir pipeline + offline batch prep
   * ``cli``       — prune / evaluate / sweep / bench entry points
+  * ``codec``     — encoded-coefficient artifact format (.wtc containers,
+                    f32/bf16/int8 coefficients, sparse or dense storage)
 """
 
 __version__ = "0.1.0"
