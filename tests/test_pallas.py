@@ -64,3 +64,43 @@ def test_idwt_rows_axis_kernel(rng):
     out = fb.idwt_rows_pallas(cA, cD, "db4", interpret=True)
     want = dj.idwt(cA, cD, "db4", axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-6)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "bior4.4"])
+def test_fused_threshold_synthesis(wavelet, rng):
+    """threshold= in the synthesis kernel == thresholding coeffs beforehand."""
+    from wavelettransforms_tpu.ops import threshold as th
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))
+    coeffs = fb.wavedec2_pallas(x, wavelet, 2, interpret=True)
+    thr = jnp.float32(0.7)
+    import jax
+
+    pre = jax.tree_util.tree_map(lambda c: th.hard_threshold(c, thr), coeffs)
+    want = fb.waverec2_pallas(pre, wavelet, interpret=True)
+    got = fb.waverec2_pallas(coeffs, wavelet, interpret=True, threshold=thr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
+def test_fused_threshold_single_level_ll_flag(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 64)).astype(np.float32))
+    ll, hl, lh, hh = fb.dwt2_level_pallas(x, "db2", interpret=True)
+    thr = jnp.float32(0.5)
+    from wavelettransforms_tpu.ops import threshold as th
+
+    # threshold_ll=False: LL untouched
+    got = fb.idwt2_level_pallas(ll, hl, lh, hh, "db2", interpret=True,
+                                threshold=thr)
+    want = fb.idwt2_level_pallas(
+        ll, th.hard_threshold(hl, thr), th.hard_threshold(lh, thr),
+        th.hard_threshold(hh, thr), "db2", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # threshold_ll=True: LL thresholded too
+    got2 = fb.idwt2_level_pallas(ll, hl, lh, hh, "db2", interpret=True,
+                                 threshold=thr, threshold_ll=True)
+    want2 = fb.idwt2_level_pallas(
+        th.hard_threshold(ll, thr), th.hard_threshold(hl, thr),
+        th.hard_threshold(lh, thr), th.hard_threshold(hh, thr),
+        "db2", interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-6)

@@ -454,11 +454,18 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
                         b_ll, b_hl, b_lh, b_hh, sem, *,
                         tc: int, hc: int, wc: int, F: int,
                         lo_rev, hi_rev, slo_ref=None, shi_ref=None,
-                        hpc: int = 0):
+                        hpc: int = 0, thr_ref=None, thr_ll: bool = False):
     """Fused 2-D synthesis for one coefficient row band: W-axis synthesis
     (transposed, lane-circular) then row-axis synthesis with halo rows —
     a single HBM read + write per level.  Subband bands are double-buffered
-    (leading slot axis of 2): step n's compute overlaps step n+1's DMA."""
+    (leading slot axis of 2): step n's compute overlaps step n+1's DMA.
+
+    ``thr_ref`` (optional SMEM scalar) fuses the hard threshold
+    (|c| < thr -> 0, reference strict-``<`` semantics,
+    /root/reference/ResNet/dwt_pruning.py:25-32) into the coefficient load —
+    the prune pipeline then never materializes thresholded coefficients in
+    HBM.  ``thr_ll`` additionally thresholds the approximation band (only
+    true at the coarsest level; upper levels receive reconstructed LLs)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -511,16 +518,24 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
         c.wait()
 
     slot = jax.lax.rem(n, jnp.int32(2))
+
+    def rd(buf, detail: bool):
+        x = buf[slot]
+        if thr_ref is not None and (detail or thr_ll):
+            t = thr_ref[0, 0]
+            x = jnp.where(jnp.abs(x) < t, jnp.zeros((), x.dtype), x)
+        return x
+
     if slo_ref is not None:
         S = slo_ref[...]
-        a0 = _wsynth_mxu(b_ll[slot], b_lh[slot], S, hpc)
-        d0 = _wsynth_mxu(b_hl[slot], b_hh[slot], S, hpc)
+        a0 = _wsynth_mxu(rd(b_ll, False), rd(b_lh, True), S, hpc)
+        d0 = _wsynth_mxu(rd(b_hl, True), rd(b_hh, True), S, hpc)
     else:
-        def wsynth(a_band, d_band):
+        def wsynth(a_band, d_band, a_detail):
             # transpose fallback: W on sublanes, upsample + circular ext +
             # F-tap pass, transpose back.
-            at = a_band[slot].T  # (wc, R)
-            dt = d_band[slot].T
+            at = rd(a_band, a_detail).T  # (wc, R)
+            dt = rd(d_band, True).T
             ua = _upsample_rows(at)  # (2wc, R)
             ud = _upsample_rows(dt)
             n2 = 2 * wc
@@ -532,17 +547,22 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
             xt = _synth_pass_rows(extend(ua), extend(ud), lo_rev, hi_rev, n2)
             return xt.T  # (R, 2wc)
 
-        a0 = wsynth(b_ll, b_lh)
-        d0 = wsynth(b_hl, b_hh)
+        a0 = wsynth(b_ll, b_lh, False)
+        d0 = wsynth(b_hl, b_hh, True)
     out_ref[...] = _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc, hl_n,
                                         off)
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret",
+                                              "threshold_ll"))
 def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       threshold=None, threshold_ll: bool = False):
     """Single-level 2-D periodization synthesis from four (B, HC, WC)
-    subbands -> (B, 2HC, 2WC), as ONE fused Pallas kernel."""
+    subbands -> (B, 2HC, 2WC), as ONE fused Pallas kernel.
+
+    ``threshold`` (traced f32 scalar) fuses |c| < thr -> 0 over the detail
+    bands (and LL too iff ``threshold_ll``) into the coefficient load."""
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     B, HC, WC = ll.shape
@@ -562,31 +582,41 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
     band = pltpu.VMEM((2, tc + hl_n + hr_n, WC), jnp.float32)
 
     use_mxu = WC % 64 == 0
+    has_thr = threshold is not None
+    thr_args = ()
+    thr_specs = []
+    if has_thr:
+        thr_args = (jnp.asarray(threshold, jnp.float32).reshape(1, 1),)
+        thr_specs = [pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                  memory_space=pltpu.SMEM)]
     if use_mxu:
         hpc = F // 2
         S_np = _row_synthesis_matrices(w, hpc)
 
-        def wrapped(ll_h, hl_h, lh_h, hh_h, sref, out,
-                    b_ll, b_hl, b_lh, b_hh, sem):
+        def wrapped(ll_h, hl_h, lh_h, hh_h, sref, *rest):
+            (tref, out, b_ll, b_hl, b_lh, b_hh, sem) = (
+                rest if has_thr else (None,) + rest)
             _synthesis2d_kernel(
                 ll_h, hl_h, lh_h, hh_h, out.at[0],
                 b_ll, b_hl, b_lh, b_hh, sem,
                 tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-                slo_ref=sref, hpc=hpc)
+                slo_ref=sref, hpc=hpc, thr_ref=tref, thr_ll=threshold_ll)
 
         in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)])
-        args = (ll, hl, lh, hh, jnp.asarray(S_np))
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] + thr_specs)
+        args = (ll, hl, lh, hh, jnp.asarray(S_np)) + thr_args
     else:
-        def wrapped(ll_h, hl_h, lh_h, hh_h, out,
-                    b_ll, b_hl, b_lh, b_hh, sem):
+        def wrapped(ll_h, hl_h, lh_h, hh_h, *rest):
+            (tref, out, b_ll, b_hl, b_lh, b_hh, sem) = (
+                rest if has_thr else (None,) + rest)
             _synthesis2d_kernel(
                 ll_h, hl_h, lh_h, hh_h, out.at[0],
                 b_ll, b_hl, b_lh, b_hh, sem,
-                tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev)
+                tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
+                thr_ref=tref, thr_ll=threshold_ll)
 
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
-        args = (ll, hl, lh, hh)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + thr_specs
+        args = (ll, hl, lh, hh) + thr_args
 
     return pl.pallas_call(
         wrapped,
@@ -615,8 +645,17 @@ def wavedec2_pallas(x, wavelet: str, level: int,
     return [a] + coeffs[::-1]
 
 
-def waverec2_pallas(coeffs, wavelet: str, interpret: bool | None = None):
+def waverec2_pallas(coeffs, wavelet: str, interpret: bool | None = None,
+                    threshold=None):
+    """Multi-level synthesis.  ``threshold`` (traced scalar) applies the
+    fused hard threshold to every coefficient band exactly once: details at
+    every level, the approximation only at the coarsest (upper levels'
+    LL inputs are already reconstructed signal, not stored coefficients)."""
     a = coeffs[0]
+    first = True
     for (hl, lh, hh) in coeffs[1:]:
-        a = idwt2_level_pallas(a, hl, lh, hh, wavelet, interpret=interpret)
+        a = idwt2_level_pallas(a, hl, lh, hh, wavelet, interpret=interpret,
+                               threshold=threshold,
+                               threshold_ll=first and threshold is not None)
+        first = False
     return a

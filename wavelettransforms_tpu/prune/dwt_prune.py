@@ -64,9 +64,9 @@ def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile):
     # exact numpy-parity percentile via radix selection (a full sort of a
     # 16M-element array costs ~10x more than 32 bandwidth-bound count passes)
     thr = percentile_abs_pytree(coeffs, float(percentile))
-    pruned = jax.tree_util.tree_map(lambda c: th.hard_threshold(c, thr),
-                                    coeffs)
-    rec = fb.waverec2_pallas(pruned, wavelet)
+    # threshold is fused into the synthesis kernels' coefficient loads —
+    # thresholded coefficients never round-trip through HBM
+    rec = fb.waverec2_pallas(coeffs, wavelet, threshold=thr)
     return rec.reshape(lead + w.shape[-2:]).astype(w.dtype), thr
 
 
