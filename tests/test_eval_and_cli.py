@@ -80,6 +80,11 @@ def test_prune_cli_end_to_end(tmp_path):
                                            "evaluation_metrics.txt"))
         assert "Accuracy" in m and "Sparsity" in m
         assert 0.0 <= r.sparsity <= 1.0
+        # model size + inference time extras (README.md:131-134, absent in
+        # the reference suite)
+        assert float(m["Model Size (MB)"]) > 0
+        assert float(m["Inference Images/s"]) > 0
+        assert r.mean_batch_ms > 0 and r.model_size_nnz_mb > 0
 
 
 def test_log_worker(tmp_path):

@@ -104,3 +104,29 @@ def test_fused_threshold_single_level_ll_flag(rng):
         th.hard_threshold(lh, thr), th.hard_threshold(hh, thr),
         "db2", interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-6)
+
+
+def test_pallas_count_below_and_select(rng):
+    """Multi-candidate count kernel == numpy counts; descent == numpy kth."""
+    from wavelettransforms_tpu.ops.pallas import select as sel
+    from wavelettransforms_tpu.parallel import quantile as q
+
+    leaves = [
+        jnp.asarray(rng.standard_normal((700,)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((64, 33)).astype(np.float32)),
+    ]
+    bits = [q._bits_of_abs(l) for l in leaves]
+    allbits = np.concatenate([np.asarray(b) for b in bits])
+    cands = jnp.asarray(
+        np.quantile(allbits.astype(np.float64), [0.1, 0.5, 0.9]).astype(
+            np.uint32))
+    got = np.asarray(sel.count_below(bits, cands, interpret=True))
+    want = np.array([(allbits < c).sum() for c in np.asarray(cands)],
+                    np.int32)
+    np.testing.assert_array_equal(got, want)
+
+    for k in (0, 100, len(allbits) - 1):
+        t = np.asarray(q._kth_smallest_bits_pallas(
+            bits, (k, min(k + 1, len(allbits) - 1)), interpret=True))
+        s = np.sort(allbits)
+        assert t[0] == s[k] and t[1] == s[min(k + 1, len(allbits) - 1)]

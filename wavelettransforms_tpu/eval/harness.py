@@ -25,7 +25,8 @@ import numpy as np
 
 from ..models import (ResNetConfig, create_model, load_config,
                       load_torch_state, torch_state_to_flax)
-from .metrics import classification_metrics, model_sparsity
+from .metrics import (classification_metrics, model_size_bytes,
+                      model_sparsity)
 
 log = logging.getLogger(__name__)
 
@@ -40,15 +41,26 @@ class EvalResult:
     sparsity: float
     num_samples: int
     seconds: float
+    # extras the reference discusses but never implemented
+    # (/root/reference/README.md:131-134): first-class here.
+    images_per_s: float = 0.0
+    mean_batch_ms: float = 0.0
+    model_size_mb: float = 0.0
+    model_size_nnz_mb: float = 0.0
 
 
-def evaluate_model(model, variables, batches) -> tuple[list, list, float, int]:
+def evaluate_model(model, variables, batches):
     """Run inference over an iterable of (images NHWC, labels) batches.
-    Returns (all_labels, all_preds, avg_loss, n)."""
+    Returns (all_labels, all_preds, avg_loss, n, timing) where timing has
+    ``mean_batch_ms`` (steady-state forward latency, first/compile batch
+    excluded) and ``images_per_s``.  Timing brackets the host read of the
+    logits, which forces device completion (block_until_ready is unreliable
+    on tunneled platforms)."""
     all_preds: list = []
     all_labels: list = []
     total_loss = 0.0
     num_batches = 0
+    batch_times: list = []
 
     @jax.jit
     def forward(variables, images):
@@ -56,8 +68,10 @@ def evaluate_model(model, variables, batches) -> tuple[list, list, float, int]:
         return logits, jnp.argmax(logits, axis=-1)
 
     for i, (images, labels) in enumerate(batches):
+        tb = time.perf_counter()
         logits, preds = forward(variables, jnp.asarray(images))
         logits = np.asarray(logits)
+        batch_times.append(time.perf_counter() - tb)
         labels = np.asarray(labels)
         if labels.size and labels.max() >= logits.shape[-1]:
             raise ValueError(
@@ -76,7 +90,13 @@ def evaluate_model(model, variables, batches) -> tuple[list, list, float, int]:
         if i % 10 == 0:
             log.info("Processed batch %d (total preds %d)", i, len(all_preds))
     avg_loss = total_loss / num_batches if num_batches else float("inf")
-    return all_labels, all_preds, avg_loss, len(all_preds)
+    steady = batch_times[1:] if len(batch_times) > 1 else batch_times
+    mean_batch = float(np.mean(steady)) if steady else 0.0
+    n = len(all_preds)
+    avg_batch_size = n / num_batches if num_batches else 0.0
+    ips = avg_batch_size / mean_batch if mean_batch > 0 else 0.0
+    timing = {"mean_batch_ms": mean_batch * 1e3, "images_per_s": ips}
+    return all_labels, all_preds, avg_loss, n, timing
 
 
 def evaluate_checkpoint_dir(model_dir: str, batches_factory,
@@ -88,12 +108,17 @@ def evaluate_checkpoint_dir(model_dir: str, batches_factory,
     cfg = ResNetConfig.from_hf_dict(load_config(model_dir))
     model = create_model(cfg)
     variables = torch_state_to_flax(state)
-    labels, preds, avg_loss, n = evaluate_model(
+    labels, preds, avg_loss, n, timing = evaluate_model(
         model, variables, batches_factory())
     accuracy, f1, recall = classification_metrics(labels, preds)
     sparsity = model_sparsity(state)
-    result = EvalResult(model_name, accuracy, f1, recall, avg_loss,
-                        sparsity, n, time.time() - t0)
+    result = EvalResult(
+        model_name, accuracy, f1, recall, avg_loss, sparsity, n,
+        time.time() - t0,
+        images_per_s=timing["images_per_s"],
+        mean_batch_ms=timing["mean_batch_ms"],
+        model_size_mb=model_size_bytes(state, dense=True) / 1e6,
+        model_size_nnz_mb=model_size_bytes(state, dense=False) / 1e6)
     if write_artifacts:
         write_metrics_file(model_dir, result)
         try:
@@ -115,6 +140,12 @@ def write_metrics_file(model_dir: str, r: EvalResult) -> str:
         f.write(f"Average Loss: {r.avg_loss}\n")
         f.write(f"Sparsity: {r.sparsity}\n")
         f.write(f"Sparsity: {r.sparsity * 100:.4f}%\n")
+        # extras beyond the reference format (appended so the reference's
+        # lines still diff cleanly against its artifacts)
+        f.write(f"Inference Images/s: {r.images_per_s:.2f}\n")
+        f.write(f"Mean Batch Latency (ms): {r.mean_batch_ms:.3f}\n")
+        f.write(f"Model Size (MB): {r.model_size_mb:.3f}\n")
+        f.write(f"Model Size NNZ-compressed (MB): {r.model_size_nnz_mb:.3f}\n")
     return path
 
 

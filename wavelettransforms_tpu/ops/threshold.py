@@ -50,10 +50,16 @@ def percentile_threshold_value(x, percentile: float):
     k = int(rank)
     frac = rank - k
     if x.dtype == jnp.float32 and n >= (1 << 18):
-        from ..parallel.quantile import _bits_to_float, _kth_smallest_bits, \
-            _bits_of_abs
+        from ..parallel.quantile import (_bits_of_abs, _bits_to_float,
+                                         _kth_smallest_bits,
+                                         _kth_smallest_bits_pallas,
+                                         _use_pallas_select)
 
-        t = _kth_smallest_bits(_bits_of_abs(x), (k, min(k + 1, n - 1)))
+        ks = (k, min(k + 1, n - 1))
+        if _use_pallas_select([x], None):
+            t = _kth_smallest_bits_pallas([_bits_of_abs(x)], ks)
+        else:
+            t = _kth_smallest_bits(_bits_of_abs(x), ks)
         v = _bits_to_float(t)
         a, b = v[0], v[1]
         if frac == 0.0:

@@ -28,33 +28,88 @@ def _bits_of_abs(x):
     return lax.bitcast_convert_type(xa, jnp.uint32).ravel()
 
 
-def _kth_smallest_bits(bits, ks, axis_name=None):
+# Bits resolved per descent step in the pure-XLA path.  Measured on v5e: XLA
+# does NOT fuse multi-candidate broadcast counts into one data pass (each
+# candidate becomes its own reduction), so wider radix only helps in the
+# Pallas count kernel (ops/pallas/select.py) where all candidates share one
+# HBM read.  Keep 1 for XLA; the TPU path below uses PALLAS_RADIX_BITS.
+RADIX_BITS = 1
+# Measured on v5e (16.7M elements, median of 3): d=1 3.5ms, d=2 2.1ms,
+# d=3 1.96ms, d=4 3.0ms — 11 passes of 7 fused candidate counts wins.
+PALLAS_RADIX_BITS = 3
+
+
+def _kth_smallest_bits(bits, ks, axis_name=None, radix_bits: int | None = None):
     """Radix-select the k-th smallest (0-indexed) uint32 for each k in ks:
-    32 bit-bisection steps, each one masked count + (optionally) a psum —
+    a most-significant-first digit descent where each step counts values
+    below all 2^radix_bits candidate prefixes in ONE pass over the data —
     pure comparisons and reductions, which the TPU executes at memory
     bandwidth (scatter-based histograms are far slower on TPU).
 
     ``bits``: local shard (flattened).  With ``axis_name``, counts are
     all-reduced so ks index into the *global* sorted order.
     """
+    d = RADIX_BITS if radix_bits is None else radix_bits
     idx_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     ks = jnp.asarray(ks, dtype=idx_dtype)
 
-    def step(b, t):
-        # t: (len(ks),) candidate prefixes
-        t_try = t | (jnp.uint32(1) << jnp.uint32(b))
-        # count of values strictly below each candidate
+    def step(pos: int, width: int, t):
+        # t: (K,) resolved high-bit prefixes; try all non-zero digits m at
+        # bit position pos.  count(bits < t|m<<pos) is monotone in m, so the
+        # winning digit is the largest candidate with count <= k.
+        ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
+        cand = t[:, None] | (ms[None, :] << jnp.uint32(pos))  # (K, M)
         cnt = jnp.sum(
-            (bits[None, :] < t_try[:, None]).astype(idx_dtype), axis=1)
+            (bits[None, None, :] < cand[:, :, None]).astype(idx_dtype),
+            axis=2)
         if axis_name is not None:
             cnt = lax.psum(cnt, axis_name)
-        keep = cnt <= ks
-        return jnp.where(keep, t_try, t)
+        keep = cnt <= ks[:, None]
+        return jnp.max(jnp.where(keep, cand, t[:, None]), axis=1)
 
-    t0 = jnp.zeros(ks.shape, jnp.uint32)
-    t = lax.fori_loop(
-        0, 32, lambda i, t: step(jnp.uint32(31) - jnp.uint32(i), t), t0)
+    t = jnp.zeros(ks.shape, jnp.uint32)
+    pos = 32
+    while pos > 0:  # static unroll: ceil(32/d) fused count passes
+        width = min(d, pos)
+        pos -= width
+        t = step(pos, width, t)
     return t
+
+
+def _kth_smallest_bits_pallas(bits_leaves, ks, interpret: bool = False,
+                              radix_bits: int | None = None):
+    """Same descent as ``_kth_smallest_bits`` but counting with the Pallas
+    multi-candidate kernel: all 2^d-1 candidates per step share one HBM read
+    (ops/pallas/select.py), so the descent costs ceil(32/d) passes instead of
+    32.  Single-chip only (no axis_name)."""
+    from ..ops.pallas.select import count_below
+
+    d = PALLAS_RADIX_BITS if radix_bits is None else radix_bits
+    ks = jnp.asarray(ks, dtype=jnp.int32)
+    kk = ks.shape[0]
+    t = jnp.zeros((kk,), jnp.uint32)
+    pos = 32
+    while pos > 0:
+        width = min(d, pos)
+        pos -= width
+        ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
+        cand = t[:, None] | (ms[None, :] << jnp.uint32(pos))  # (K, M)
+        cnt = count_below(bits_leaves, cand.ravel(), interpret)
+        keep = cnt.reshape(cand.shape) <= ks[:, None]
+        t = jnp.max(jnp.where(keep, cand, t[:, None]), axis=1)
+    return t
+
+
+def _use_pallas_select(leaves, axis_name) -> bool:
+    if axis_name is not None:
+        return False
+    n = sum(l.size for l in leaves)
+    if not (1 << 18) <= n < (1 << 31):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _bits_to_float(t):
@@ -66,13 +121,15 @@ def percentile_abs(x, percentile, axis_name=None, total_size: int | None = None)
     sharded) array.  ``percentile`` must be a static float; with ``axis_name``
     set, x is the local shard inside shard_map and total_size the GLOBAL
     element count (static)."""
-    bits = _bits_of_abs(x)
     n = total_size if total_size is not None else x.size
     rank = _numpy_rank(percentile, n, x.dtype)
     k = int(rank)
     frac = rank - k
     ks = (k, min(k + 1, n - 1))
-    t = _kth_smallest_bits(bits, ks, axis_name)
+    if _use_pallas_select([x], axis_name):
+        t = _kth_smallest_bits_pallas([_bits_of_abs(x)], ks)
+    else:
+        t = _kth_smallest_bits(_bits_of_abs(x), ks, axis_name)
     return _numpy_lerp(_bits_to_float(t), frac)
 
 
@@ -100,10 +157,15 @@ def percentile_abs_pytree(tree, percentile, axis_name=None,
     """Global percentile of |values| across every leaf of a pytree (the
     sharded-subband representation of a wavedec2 result)."""
     leaves = jax.tree_util.tree_leaves(tree)
-    bits = jnp.concatenate([_bits_of_abs(l) for l in leaves])
     n = total_size if total_size is not None else sum(l.size for l in leaves)
     rank = _numpy_rank(percentile, n, leaves[0].dtype)
     k = int(rank)
     frac = rank - k
-    t = _kth_smallest_bits(bits, (k, min(k + 1, n - 1)), axis_name)
+    ks = (k, min(k + 1, n - 1))
+    if _use_pallas_select(leaves, axis_name):
+        # per-leaf counting: no concatenated copy of the coefficients
+        t = _kth_smallest_bits_pallas([_bits_of_abs(l) for l in leaves], ks)
+    else:
+        bits = jnp.concatenate([_bits_of_abs(l) for l in leaves])
+        t = _kth_smallest_bits(bits, ks, axis_name)
     return _numpy_lerp(_bits_to_float(t), frac)
