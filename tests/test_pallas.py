@@ -130,3 +130,19 @@ def test_pallas_count_below_and_select(rng):
             bits, (k, min(k + 1, len(allbits) - 1)), interpret=True))
         s = np.sort(allbits)
         assert t[0] == s[k] and t[1] == s[min(k + 1, len(allbits) - 1)]
+
+
+def test_grouped_percentile_matches_numpy(rng):
+    """percentile_abs_grouped == per-array np.percentile, incl. lerp cases."""
+    from wavelettransforms_tpu.parallel import quantile as q
+
+    arrs = [
+        jnp.asarray(rng.standard_normal((64, 64, 3, 3)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1000,)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((17, 333)).astype(np.float32)),
+    ]
+    ps = [50.0, 61.8, 0.0]
+    got = np.asarray(q.percentile_abs_grouped(arrs, ps, interpret=True))
+    for i, (a, p) in enumerate(zip(arrs, ps)):
+        want = np.percentile(np.abs(np.asarray(a)), p)
+        assert got[i] == np.float32(want), (i, got[i], want)

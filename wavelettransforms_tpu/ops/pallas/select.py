@@ -4,12 +4,15 @@ The global-percentile threshold (reference semantics: one np.percentile over
 a whole coefficient array, /root/reference/ResNet/dwt_pruning.py:25-32) is
 computed by a most-significant-digit radix descent on |x|'s IEEE-754 bit
 patterns (parallel/quantile.py).  Each descent step needs
-``count(bits < candidate)`` for several candidate prefixes.  XLA lowers each
-candidate's count to its own full pass over the data (measured on v5e: a
-3-candidate broadcast count runs ~1.6x SLOWER than three sequential
-single-candidate counts would suggest fusing happened — it didn't); this
-kernel performs ALL candidate counts in one HBM read, with double-buffered
-block DMA, making the descent ~radix times cheaper in HBM traffic.
+``count(bits < candidate)`` for several candidate prefixes.  This kernel
+performs ALL candidate counts in one HBM read with double-buffered block
+DMA, making the descent ~radix times cheaper in HBM traffic than XLA's
+flat-form broadcast count (which lowers each candidate to its own pass).
+
+Routing (see quantile._use_pallas_select): only leaves whose flat
+(N/128, 128) view is relayout-free take this kernel; conv-shaped leaves use
+the natural-layout XLA descent — retiling (O, I, 3, 3) tensors to lane
+layout runs at ~4.5 GB/s and would dominate everything.
 
 Counts are int32 (fine for arrays < 2^31 elements; asserted by the caller).
 """

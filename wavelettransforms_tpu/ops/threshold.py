@@ -52,12 +52,15 @@ def percentile_threshold_value(x, percentile: float):
     if x.dtype == jnp.float32 and n >= (1 << 18):
         from ..parallel.quantile import (_bits_of_abs, _bits_to_float,
                                          _kth_smallest_bits,
+                                         _kth_smallest_bits_natural,
                                          _kth_smallest_bits_pallas,
-                                         _use_pallas_select)
+                                         _use_natural, _use_pallas_select)
 
         ks = (k, min(k + 1, n - 1))
         if _use_pallas_select([x], None):
             t = _kth_smallest_bits_pallas([_bits_of_abs(x)], ks)
+        elif _use_natural([x], None):
+            t = _kth_smallest_bits_natural([x], ks)
         else:
             t = _kth_smallest_bits(_bits_of_abs(x), ks)
         v = _bits_to_float(t)

@@ -28,14 +28,23 @@ def _bits_of_abs(x):
     return lax.bitcast_convert_type(xa, jnp.uint32).ravel()
 
 
-# Bits resolved per descent step in the pure-XLA path.  Measured on v5e: XLA
-# does NOT fuse multi-candidate broadcast counts into one data pass (each
-# candidate becomes its own reduction), so wider radix only helps in the
-# Pallas count kernel (ops/pallas/select.py) where all candidates share one
-# HBM read.  Keep 1 for XLA; the TPU path below uses PALLAS_RADIX_BITS.
+# Bits resolved per descent step.  Two fast forms, both measured on v5e:
+#   * NATURAL-layout XLA descent (``_kth_smallest_bits_natural``): compare
+#     against candidates on a NEW TRAILING axis of the un-reshaped tensor —
+#     XLA fuses all candidates into one natural-layout reduction pass.  This
+#     is the right path for conv-shaped tensors: ANY materialization of a
+#     flat (N/128, 128) view of an (O, I, 3, 3) tensor costs ~4.5 GB/s
+#     retiling (measured 10 ms for a ResNet-18's conv stack), dwarfing the
+#     counts themselves.
+#   * Pallas count kernel (ops/pallas/select.py) for tensors whose natural
+#     layout is already lane-aligned (big 2-D mosaics): all candidates share
+#     one HBM read with double-buffered DMA (16.7M elements: d=1 3.5ms,
+#     d=2 2.1ms, d=3 1.96ms, d=4 3.0ms).
+# The legacy flat broadcast form (bits[None, :] < cand[:, None]) does NOT
+# fuse (each candidate became its own pass) — kept only for the sharded
+# psum descent where the per-shard count is one comparison per step.
 RADIX_BITS = 1
-# Measured on v5e (16.7M elements, median of 3): d=1 3.5ms, d=2 2.1ms,
-# d=3 1.96ms, d=4 3.0ms — 11 passes of 7 fused candidate counts wins.
+NATURAL_RADIX_BITS = 3
 PALLAS_RADIX_BITS = 3
 
 
@@ -76,6 +85,35 @@ def _kth_smallest_bits(bits, ks, axis_name=None, radix_bits: int | None = None):
     return t
 
 
+def _kth_smallest_bits_natural(xs, ks, radix_bits: int | None = None):
+    """Radix descent with counts taken in each array's NATURAL layout:
+    ``xs`` is a list of arrays (any shapes — a pytree's leaves); each step
+    counts |x| bits below all candidate prefixes via a trailing broadcast
+    axis, which XLA fuses into ONE reduction pass per leaf with no layout
+    change.  ks: (K,) global ranks across all leaves together."""
+    d = NATURAL_RADIX_BITS if radix_bits is None else radix_bits
+    ks = jnp.asarray(ks, dtype=jnp.int32)
+    kk = ks.shape[0]
+    bits = [lax.bitcast_convert_type(jnp.abs(x.astype(jnp.float32)),
+                                     jnp.uint32) for x in xs]
+    t = jnp.zeros((kk,), jnp.uint32)
+    pos = 32
+    while pos > 0:
+        width = min(d, pos)
+        pos -= width
+        ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
+        cand = (t[:, None] | (ms[None, :] << jnp.uint32(pos)))  # (K, M)
+        flat = cand.ravel()
+        cnt = jnp.zeros((flat.size,), jnp.int32)
+        for b in bits:
+            cnt = cnt + jnp.sum(
+                b[..., None] < flat, axis=tuple(range(b.ndim))
+            ).astype(jnp.int32)
+        keep = cnt.reshape(cand.shape) <= ks[:, None]
+        t = jnp.max(jnp.where(keep, cand, t[:, None]), axis=1)
+    return t
+
+
 def _kth_smallest_bits_pallas(bits_leaves, ks, interpret: bool = False,
                               radix_bits: int | None = None):
     """Same descent as ``_kth_smallest_bits`` but counting with the Pallas
@@ -100,16 +138,67 @@ def _kth_smallest_bits_pallas(bits_leaves, ks, interpret: bool = False,
     return t
 
 
+def percentile_abs_grouped(arrs, percentiles, interpret: bool = False,
+                           radix_bits: int | None = None):
+    """INDEPENDENT exact np.percentile(|a_i|, p_i) for a list of arrays,
+    traced as one program so a whole checkpoint's per-layer thresholds
+    (reference semantics: one np.percentile per layer,
+    /root/reference/ResNet/dwt_pruning.py:67-73) compile into one fused
+    sweep.  Each leaf dispatches to the best strategy for its layout
+    (Pallas count kernel / natural-layout XLA descent / flat descent).
+
+    ``percentiles``: one static float per array (or a single float).
+    Returns a (L,) float32 vector of thresholds, bit-identical to the
+    per-array ``percentile_abs``.  ``interpret`` forces the Pallas count
+    path in interpreter mode (tests)."""
+    L = len(arrs)
+    if not isinstance(percentiles, (list, tuple)):
+        percentiles = [percentiles] * L
+    thrs = []
+    for a, p in zip(arrs, percentiles):
+        n = a.size
+        rank = _numpy_rank(float(p), n, a.dtype)
+        k = int(rank)
+        frac = rank - k
+        ks = (k, min(k + 1, n - 1))
+        if interpret or _use_pallas_select([a], None):
+            t = _kth_smallest_bits_pallas([_bits_of_abs(a)], ks,
+                                          interpret=interpret,
+                                          radix_bits=radix_bits)
+        elif _use_natural([a], None):
+            t = _kth_smallest_bits_natural([a], ks, radix_bits=radix_bits)
+        else:
+            t = _kth_smallest_bits(_bits_of_abs(a), ks)
+        thrs.append(_numpy_lerp(_bits_to_float(t), frac))
+    return jnp.stack(thrs)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _use_pallas_select(leaves, axis_name) -> bool:
+    """Pallas count kernel only pays off when every leaf's flat (N/128, 128)
+    view is relayout-free — i.e. its natural minor dim is already
+    lane-aligned.  Conv-shaped leaves (…, 3, 3) take the natural-layout XLA
+    descent instead (retiling them costs ~10 ms/45 MB, measured)."""
     if axis_name is not None:
         return False
     n = sum(l.size for l in leaves)
     if not (1 << 18) <= n < (1 << 31):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    for l in leaves:
+        if l.ndim == 0 or l.shape[-1] % 128 or l.size % 1024:
+            return False
+    return _on_tpu()
+
+
+def _use_natural(leaves, axis_name) -> bool:
+    n = sum(l.size for l in leaves)
+    return axis_name is None and n < (1 << 31) and _on_tpu()
 
 
 def _bits_to_float(t):
@@ -128,6 +217,8 @@ def percentile_abs(x, percentile, axis_name=None, total_size: int | None = None)
     ks = (k, min(k + 1, n - 1))
     if _use_pallas_select([x], axis_name):
         t = _kth_smallest_bits_pallas([_bits_of_abs(x)], ks)
+    elif _use_natural([x], axis_name):
+        t = _kth_smallest_bits_natural([x], ks)
     else:
         t = _kth_smallest_bits(_bits_of_abs(x), ks, axis_name)
     return _numpy_lerp(_bits_to_float(t), frac)
@@ -165,6 +256,8 @@ def percentile_abs_pytree(tree, percentile, axis_name=None,
     if _use_pallas_select(leaves, axis_name):
         # per-leaf counting: no concatenated copy of the coefficients
         t = _kth_smallest_bits_pallas([_bits_of_abs(l) for l in leaves], ks)
+    elif _use_natural(leaves, axis_name):
+        t = _kth_smallest_bits_natural(leaves, ks)
     else:
         bits = jnp.concatenate([_bits_of_abs(l) for l in leaves])
         t = _kth_smallest_bits(bits, ks, axis_name)

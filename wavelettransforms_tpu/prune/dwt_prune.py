@@ -98,16 +98,154 @@ def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
     return rec.astype(w.dtype), thr
 
 
+def dwt_prune_tensor_batched(w, wavelet: str, level: int, percentile,
+                             mode: str = "periodization"):
+    """Prune a stack of same-shape tensors (leading axis = tensor index) with
+    an INDEPENDENT global percentile per tensor — exactly ``vmap`` of
+    ``dwt_prune_tensor`` semantics, but with the percentile's radix descent
+    batched so a whole group of layers is one fused program instead of G
+    sequential ones (the reference loops layers one at a time,
+    /root/reference/ResNet/dwt_pruning.py:158)."""
+    from ..parallel.quantile import (_bits_of_abs, _kth_smallest_bits,
+                                     _numpy_rank)
+
+    g = w.shape[0]
+    if w.ndim - 1 < 2:
+        # stack of <2-D tensors: direct per-tensor percentile threshold
+        arr = w.reshape(g, -1)
+    else:
+        lvl = clamped_level(w.shape[1:], wavelet, level)
+        coeffs = dj.wavedec2(w, wavelet, lvl, mode)
+        arr, slices = dj.coeffs_to_array(coeffs)
+    n = arr.size // g
+    rank = _numpy_rank(float(percentile), n, arr.dtype)
+    k = int(rank)
+    frac = rank - k
+    ks = (k, min(k + 1, n - 1))
+    bits = jax.vmap(_bits_of_abs)(arr.reshape(g, -1))
+    t = jax.vmap(lambda b: _kth_smallest_bits(b, ks))(bits)  # (G, 2)
+    v = jax.lax.bitcast_convert_type(t, jnp.float32)
+    if frac == 0.0:
+        thr = v[:, 0]
+    else:
+        a, b = v[:, 0], v[:, 1]
+        tt = v.dtype.type(frac)
+        diff = b - a
+        thr = (b - diff * (v.dtype.type(1) - tt) if frac >= 0.5
+               else a + diff * tt)
+    tb = thr.reshape((g,) + (1,) * (arr.ndim - 1))
+    pruned_arr = jnp.where(jnp.abs(arr) < tb, jnp.zeros((), arr.dtype), arr)
+    if w.ndim - 1 < 2:
+        return pruned_arr.reshape(w.shape), thr
+    rec = dj.waverec2(dj.array_to_coeffs(pruned_arr, slices), wavelet, mode)
+    for ax in (-2, -1):
+        ax = ax % w.ndim
+        if rec.shape[ax] > w.shape[ax]:
+            rec = jax.lax.slice_in_dim(rec, 0, w.shape[ax], axis=ax)
+    return rec.astype(w.dtype), thr
+
+
+def _use_grouped_gang(tensors, mode) -> bool:
+    """Route the whole-checkpoint sweep through the grouped-percentile
+    Pallas kernel: every layer's exact per-layer percentile descends in the
+    same ceil(32/d) kernel launches (ops/pallas/select.py)."""
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    eligible = [t for t in tensors
+                if not _pallas_eligible(t.shape, mode, (-2, -1))
+                and t.dtype == jnp.float32]
+    return len(eligible) >= 2
+
+
+def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
+                         mode: str, percentile: float, out: list,
+                         zeros: list, idxs_all: list):
+    """Fused sweep: (1) forward transform per same-shape group (batched),
+    (2) ONE grouped radix descent computing every tensor's independent
+    global percentile, (3) threshold + inverse transform per group.
+    Bit-identical to the per-tensor path."""
+    from ..parallel.quantile import percentile_abs_grouped
+
+    groups: dict = {}
+    for i in idxs_all:
+        t = tensors[i]
+        groups.setdefault((t.shape, str(t.dtype)), []).append(i)
+
+    # phase 1: mosaics
+    mosaics = {}   # group key -> (arr, slices_or_None, lvl)
+    leaf_order = []  # (group key, j, tensor idx)
+    for key, idxs in groups.items():
+        shape = key[0]
+        stacked = (jnp.stack([tensors[i] for i in idxs])
+                   if len(idxs) > 1 else tensors[idxs[0]][None])
+        if len(shape) < 2:
+            arr, slices, lvl = stacked, None, 0
+        else:
+            lvl = clamped_level(shape, wavelet, level)
+            coeffs = dj.wavedec2(stacked, wavelet, lvl, mode)
+            arr, slices = dj.coeffs_to_array(coeffs)
+        mosaics[key] = (arr, slices, lvl)
+        for j, i in enumerate(idxs):
+            leaf_order.append((key, j, i))
+
+    # phase 2: one grouped descent over every tensor's packed mosaic
+    leaves = [mosaics[key][0][j] for key, j, _ in leaf_order]
+    thr = percentile_abs_grouped(leaves, float(percentile))
+
+    # phase 3: threshold + inverse per group
+    pos_of = {(key, j): p for p, (key, j, _) in enumerate(leaf_order)}
+    for key, idxs in groups.items():
+        arr, slices, lvl = mosaics[key]
+        g = arr.shape[0]
+        tg = jnp.stack([thr[pos_of[(key, j)]] for j in range(g)])
+        tb = tg.reshape((g,) + (1,) * (arr.ndim - 1))
+        pruned_arr = jnp.where(jnp.abs(arr) < tb,
+                               jnp.zeros((), arr.dtype), arr)
+        if slices is None:
+            rec = pruned_arr
+        else:
+            rec = dj.waverec2(dj.array_to_coeffs(pruned_arr, slices),
+                              wavelet, mode)
+            shape = key[0]
+            for ax in (-2, -1):
+                axp = ax % rec.ndim
+                if rec.shape[axp] > shape[ax]:
+                    rec = jax.lax.slice_in_dim(rec, 0, shape[ax], axis=axp)
+        for j, i in enumerate(idxs):
+            out[i] = rec[j].astype(tensors[i].dtype)
+            zeros[i] = th.exact_zero_count(out[i])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wavelet", "level", "mode", "percentile"))
 def _gang_encode(tensors: tuple, wavelet: str, level: int,
                  mode: str, percentile: float):
-    out = []
-    zeros = []
-    for t in tensors:
-        pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
-        out.append(pruned)
-        zeros.append(th.exact_zero_count(pruned))
+    """Jitted whole-checkpoint sweep.  On TPU, all non-Pallas-routed layers
+    share one grouped percentile descent (per-layer thresholds stay exactly
+    independent); big spatial tensors use the fused filter-bank kernels."""
+    n = len(tensors)
+    out: list = [None] * n
+    zeros: list = [None] * n
+
+    use_grouped = _use_grouped_gang(tensors, mode)
+    grouped_idxs = []
+    for i, t in enumerate(tensors):
+        if (use_grouped
+                and not _pallas_eligible(t.shape, mode, (-2, -1))
+                and t.dtype == jnp.float32):
+            grouped_idxs.append(i)
+        else:
+            pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
+            out[i] = pruned
+            zeros[i] = th.exact_zero_count(pruned)
+    if grouped_idxs:
+        _gang_encode_grouped(tensors, wavelet, level, mode, percentile,
+                             out, zeros, grouped_idxs)
     return tuple(out), tuple(zeros)
 
 
