@@ -146,3 +146,26 @@ def test_grouped_percentile_matches_numpy(rng):
     for i, (a, p) in enumerate(zip(arrs, ps)):
         want = np.percentile(np.abs(np.asarray(a)), p)
         assert got[i] == np.float32(want), (i, got[i], want)
+
+
+def test_bfloat16_roundtrip(rng):
+    """bf16 coefficient path: analysis/synthesis accept bf16 in/out
+    (f32 compute); result within bf16 tolerance of the f32 path."""
+    x32 = rng.standard_normal((1, 64, 128)).astype(np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    subs16 = fb.dwt2_level_pallas(x16, "bior4.4", interpret=True)
+    subs32 = fb.dwt2_level_pallas(jnp.asarray(x32), "bior4.4",
+                                  interpret=True)
+    for a, b in zip(subs16, subs32):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), rtol=0, atol=0.05)
+    rec = fb.idwt2_level_pallas(*subs16, "bior4.4", interpret=True)
+    assert rec.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(rec, np.float32), x32,
+                               rtol=0, atol=0.08)
+    # fused threshold works on bf16 coefficients too
+    rec_t = fb.idwt2_level_pallas(*subs16, "bior4.4", interpret=True,
+                                  threshold=jnp.float32(10.0),
+                                  threshold_ll=True)
+    np.testing.assert_allclose(np.asarray(rec_t, np.float32), 0.0, atol=1e-6)

@@ -108,11 +108,20 @@ def _row_analysis_matrices(w: Wavelet):
     return T
 
 
-def _row_pass_mxu(x, T, hp: int):
+def _row_pass_mxu(x, T, hp: int, bf16: bool = False):
     """Lane-axis analysis as banded block matmuls (MXU).  ``T`` is the fused
     (_AIN + 2*hp, 2*_AOUT) operator with lo taps in columns [:_AOUT] and hi
-    taps in [_AOUT:] — one dot per block computes both subbands."""
+    taps in [_AOUT:] — one dot per block computes both subbands.
+
+    ``bf16`` uses native single-pass bf16 MXU dots (f32 accumulation) —
+    ~6x fewer MXU passes than f32 HIGHEST; only for the bf16 lossy path."""
     rows, cols = x.shape
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+        T = T.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST
     if hp:
         ext = jnp.concatenate([x[:, cols - hp:], x, x[:, :hp]], axis=1)
     else:
@@ -121,23 +130,29 @@ def _row_pass_mxu(x, T, hp: int):
     for j0 in range(cols // _AIN):
         blk = jax.lax.slice_in_dim(
             ext, _AIN * j0, _AIN * j0 + _AIN + 2 * hp, axis=1)
-        both = jnp.dot(blk, T, precision=jax.lax.Precision.HIGHEST,
+        both = jnp.dot(blk, T, precision=prec,
                        preferred_element_type=jnp.float32)
         los.append(both[:, :_AOUT])
         his.append(both[:, _AOUT:])
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
 
 
-def _aligned_halo(halo: int) -> int:
-    """HBM DMA slices must be (8, 128)-tile aligned: round the halo row count
-    up to a multiple of 8 (the surplus is absorbed by a static shift in the
-    filter-tap slicing)."""
-    return ((halo + 7) // 8) * 8 if halo else 0
+def _sublane(dtype) -> int:
+    """Sublane tile height per dtype ((8,128) f32 / (16,128) bf16)."""
+    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+
+
+def _aligned_halo(halo: int, sub: int = 8) -> int:
+    """HBM DMA slices must be (sub, 128)-tile aligned: round the halo row
+    count up to a multiple of the sublane tile (the surplus is absorbed by a
+    static shift in the filter-tap slicing)."""
+    return ((halo + sub - 1) // sub) * sub if halo else 0
 
 
 def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
                      tm: int, h: int, w: int, halo: int,
-                     lo_rev, hi_rev, tlo_ref=None, thi_ref=None):
+                     lo_rev, hi_rev, tlo_ref=None, thi_ref=None,
+                     sub: int = 8):
     """Input bands are double-buffered: step n's compute overlaps step n+1's
     HBM->VMEM DMA (``band`` has a leading slot axis of 2); output writes are
     pipelined by pallas itself via the out BlockSpecs."""
@@ -146,7 +161,7 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     nb = pl.num_programs(1)
     n = b * nb + i
     total = pl.num_programs(0) * nb
-    hp = _aligned_halo(halo)
+    hp = _aligned_halo(halo, sub)
 
     def start_fetch(step):
         """Issue the three copies for flat step ``step`` into slot step%2;
@@ -164,11 +179,11 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
 
         cps = []
         if hp:
-            top = pl.multiple_of(jax.lax.rem(r0 - hp + h, jnp.int32(h)), 8)
-            bot = pl.multiple_of(jax.lax.rem(r0 + tm, jnp.int32(h)), 8)
+            top = pl.multiple_of(jax.lax.rem(r0 - hp + h, jnp.int32(h)), sub)
+            bot = pl.multiple_of(jax.lax.rem(r0 + tm, jnp.int32(h)), sub)
             cps.append(copy(0, top, hp, 0))
             cps.append(copy(hp + tm, bot, hp, 1))
-        cps.append(copy(hp, pl.multiple_of(r0, 8), tm, 2))
+        cps.append(copy(hp, pl.multiple_of(r0, sub), tm, 2))
         return cps
 
     @pl.when(n == 0)
@@ -184,30 +199,32 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     for cp in start_fetch(n):
         cp.wait()
 
-    x = band[jax.lax.rem(n, jnp.int32(2))]
+    x = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
     a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
     # pywt naming: hl = 'da' (detail along rows), lh = 'ad' (detail cols)
     if tlo_ref is not None:
         T = tlo_ref[...]
-        ll, lh = _row_pass_mxu(a0, T, halo)
-        hl, hh = _row_pass_mxu(d0, T, halo)
+        bf16 = jnp.dtype(ll_ref.dtype) == jnp.bfloat16
+        ll, lh = _row_pass_mxu(a0, T, halo, bf16)
+        hl, hh = _row_pass_mxu(d0, T, halo, bf16)
     else:
         ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
         hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
-    ll_ref[...] = ll
-    hl_ref[...] = hl
-    lh_ref[...] = lh
-    hh_ref[...] = hh
+    ll_ref[...] = ll.astype(ll_ref.dtype)
+    hl_ref[...] = hl.astype(hl_ref.dtype)
+    lh_ref[...] = lh.astype(lh_ref.dtype)
+    hh_ref[...] = hh.astype(hh_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret"))
 def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
                       interpret: bool | None = None):
-    """Single-level 2-D periodization DWT of (B, H, W) float32.
+    """Single-level 2-D periodization DWT of (B, H, W) float32 or bfloat16.
 
-    Returns (ll, hl, lh, hh), each (B, H/2, W/2):
+    Returns (ll, hl, lh, hh), each (B, H/2, W/2) in the input dtype:
       hl = detail along rows (pywt 'da' / cH), lh = detail along cols ('ad').
     H must be a multiple of ``tm``; H, W even; halo (= dec_len/2-1) < tm.
+    bfloat16 inputs halve HBM traffic (lossy paths); compute is f32.
     """
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
@@ -220,6 +237,7 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
     lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
     hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
 
+    sub = _sublane(x.dtype)
     grid = (B, H // tm)
     out_shape = [jax.ShapeDtypeStruct((B, H // 2, W // 2), x.dtype)] * 4
     out_spec = pl.BlockSpec((1, tm // 2, W // 2), lambda b, i: (b, i, 0),
@@ -235,7 +253,7 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
                 x_hbm,
                 ll.at[0], hl.at[0], lh.at[0], hh.at[0],
                 band, sem, tm=tm, h=H, w=W, halo=halo,
-                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tref)
+                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tref, sub=sub)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -246,7 +264,7 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
                 x_hbm,
                 ll.at[0], hl.at[0], lh.at[0], hh.at[0],
                 band, sem, tm=tm, h=H, w=W, halo=halo,
-                lo_rev=lo_rev, hi_rev=hi_rev)
+                lo_rev=lo_rev, hi_rev=hi_rev, sub=sub)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
         args = (x,)
@@ -258,7 +276,7 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, tm + 2 * _aligned_halo(halo), W), jnp.float32),
+            pltpu.VMEM((2, tm + 2 * _aligned_halo(halo, sub), W), x.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -409,11 +427,19 @@ def _row_synthesis_matrices(w: Wavelet, hpc: int):
     return S
 
 
-def _wsynth_mxu(a, d, S, hpc: int):
+def _wsynth_mxu(a, d, S, hpc: int, bf16: bool = False):
     """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> (R, 2WC).
     ``S`` is the fused (2*(64+2*hpc), 128) operator (lo rows stacked over hi
-    rows) — one dot of concat([a_slice, d_slice]) per 128-wide out block."""
+    rows) — one dot of concat([a_slice, d_slice]) per 128-wide out block.
+    ``bf16``: native single-pass bf16 dots for the lossy path."""
     rows, wc = a.shape
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        d = d.astype(jnp.bfloat16)
+        S = S.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST
     a_ext = jnp.concatenate([a[:, wc - hpc:], a, a[:, :hpc]], axis=1)
     d_ext = jnp.concatenate([d[:, wc - hpc:], d, d[:, :hpc]], axis=1)
     outs = []
@@ -422,7 +448,7 @@ def _wsynth_mxu(a, d, S, hpc: int):
         sa = jax.lax.slice_in_dim(a_ext, 64 * j0, 64 * j0 + width, axis=1)
         sd = jax.lax.slice_in_dim(d_ext, 64 * j0, 64 * j0 + width, axis=1)
         blk = jnp.concatenate([sa, sd], axis=1)
-        outs.append(jnp.dot(blk, S, precision=jax.lax.Precision.HIGHEST,
+        outs.append(jnp.dot(blk, S, precision=prec,
                             preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=1)
 
@@ -454,7 +480,8 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
                         b_ll, b_hl, b_lh, b_hh, sem, *,
                         tc: int, hc: int, wc: int, F: int,
                         lo_rev, hi_rev, slo_ref=None, shi_ref=None,
-                        hpc: int = 0, thr_ref=None, thr_ll: bool = False):
+                        hpc: int = 0, thr_ref=None, thr_ll: bool = False,
+                        sub: int = 8):
     """Fused 2-D synthesis for one coefficient row band: W-axis synthesis
     (transposed, lane-circular) then row-axis synthesis with halo rows —
     a single HBM read + write per level.  Subband bands are double-buffered
@@ -472,8 +499,8 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
     n = b * nb + i
     total = pl.num_programs(0) * nb
     off = F // 2
-    hl_n = _aligned_halo((off + 1) // 2)
-    hr_n = _aligned_halo((F - off) // 2)
+    hl_n = _aligned_halo((off + 1) // 2, sub)
+    hr_n = _aligned_halo((F - off) // 2, sub)
 
     def start_fetch(step):
         slot = jax.lax.rem(step, jnp.int32(2))
@@ -484,19 +511,19 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
             cps = []
             if hl_n:
                 top = pl.multiple_of(
-                    jax.lax.rem(r0 - hl_n + hc, jnp.int32(hc)), 8)
+                    jax.lax.rem(r0 - hl_n + hc, jnp.int32(hc)), sub)
                 cps.append(pltpu.make_async_copy(
                     hbm.at[bb, pl.ds(top, hl_n), :],
                     buf.at[slot, pl.ds(0, hl_n), :],
                     sem.at[slot, slot0]))
             if hr_n:
-                bot = pl.multiple_of(jax.lax.rem(r0 + tc, jnp.int32(hc)), 8)
+                bot = pl.multiple_of(jax.lax.rem(r0 + tc, jnp.int32(hc)), sub)
                 cps.append(pltpu.make_async_copy(
                     hbm.at[bb, pl.ds(bot, hr_n), :],
                     buf.at[slot, pl.ds(hl_n + tc, hr_n), :],
                     sem.at[slot, slot0 + 1]))
             cps.append(pltpu.make_async_copy(
-                hbm.at[bb, pl.ds(pl.multiple_of(r0, 8), tc), :],
+                hbm.at[bb, pl.ds(pl.multiple_of(r0, sub), tc), :],
                 buf.at[slot, pl.ds(hl_n, tc), :],
                 sem.at[slot, slot0 + 2]))
             return cps
@@ -520,7 +547,7 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
     slot = jax.lax.rem(n, jnp.int32(2))
 
     def rd(buf, detail: bool):
-        x = buf[slot]
+        x = buf[slot].astype(jnp.float32)
         if thr_ref is not None and (detail or thr_ll):
             t = thr_ref[0, 0]
             x = jnp.where(jnp.abs(x) < t, jnp.zeros((), x.dtype), x)
@@ -528,8 +555,9 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
 
     if slo_ref is not None:
         S = slo_ref[...]
-        a0 = _wsynth_mxu(rd(b_ll, False), rd(b_lh, True), S, hpc)
-        d0 = _wsynth_mxu(rd(b_hl, True), rd(b_hh, True), S, hpc)
+        bf16 = jnp.dtype(out_ref.dtype) == jnp.bfloat16
+        a0 = _wsynth_mxu(rd(b_ll, False), rd(b_lh, True), S, hpc, bf16)
+        d0 = _wsynth_mxu(rd(b_hl, True), rd(b_hh, True), S, hpc, bf16)
     else:
         def wsynth(a_band, d_band, a_detail):
             # transpose fallback: W on sublanes, upsample + circular ext +
@@ -550,7 +578,7 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
         a0 = wsynth(b_ll, b_lh, False)
         d0 = wsynth(b_hl, b_hh, True)
     out_ref[...] = _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc, hl_n,
-                                        off)
+                                        off).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tc", "interpret",
@@ -566,12 +594,13 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     B, HC, WC = ll.shape
+    sub = _sublane(ll.dtype)
     F = w.rec_len
     off = F // 2
     tc = min(tc, HC)
     assert HC % tc == 0
-    hl_n = _aligned_halo((off + 1) // 2)
-    hr_n = _aligned_halo((F - off) // 2)
+    hl_n = _aligned_halo((off + 1) // 2, sub)
+    hr_n = _aligned_halo((F - off) // 2, sub)
     assert hl_n <= HC and hr_n <= HC, "subband too short for halo wrap"
     lo_rev = tuple(float(v) for v in w.rec_lo[::-1])
     hi_rev = tuple(float(v) for v in w.rec_hi[::-1])
@@ -579,7 +608,7 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
     grid = (B, HC // tc)
     out_spec = pl.BlockSpec((1, 2 * tc, 2 * WC), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
-    band = pltpu.VMEM((2, tc + hl_n + hr_n, WC), jnp.float32)
+    band = pltpu.VMEM((2, tc + hl_n + hr_n, WC), ll.dtype)
 
     use_mxu = WC % 64 == 0
     has_thr = threshold is not None
@@ -600,7 +629,8 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
                 ll_h, hl_h, lh_h, hh_h, out.at[0],
                 b_ll, b_hl, b_lh, b_hh, sem,
                 tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-                slo_ref=sref, hpc=hpc, thr_ref=tref, thr_ll=threshold_ll)
+                slo_ref=sref, hpc=hpc, thr_ref=tref, thr_ll=threshold_ll,
+                sub=sub)
 
         in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] + thr_specs)
@@ -613,7 +643,7 @@ def idwt2_level_pallas(ll, hl, lh, hh, wavelet: str, tc: int = 128,
                 ll_h, hl_h, lh_h, hh_h, out.at[0],
                 b_ll, b_hl, b_lh, b_hh, sem,
                 tc=tc, hc=HC, wc=WC, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-                thr_ref=tref, thr_ll=threshold_ll)
+                thr_ref=tref, thr_ll=threshold_ll, sub=sub)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + thr_specs
         args = (ll, hl, lh, hh) + thr_args
