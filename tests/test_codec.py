@@ -116,3 +116,42 @@ def test_native_reader_interop(tmp_path, rng):
     with native.SafetensorsFile(path) as f:
         assert "w::v" in f.names()
         assert f.tensor("w::v").dtype == np.float32
+
+
+def test_codec_cli_roundtrip(tmp_path, rng):
+    """encode -> decode through the CLI entry point."""
+    import json
+    import subprocess
+    import sys
+
+    from wavelettransforms_tpu.models.hf_io import save_torch_state
+
+    src = tmp_path / "ckpt"
+    params = {
+        "conv1.weight": rng.standard_normal((8, 3, 3, 3)).astype(np.float32),
+        "fc.bias": rng.standard_normal((10,)).astype(np.float32),
+    }
+    save_torch_state(params, str(src), config={"architectures": ["X"]})
+    wtc = tmp_path / "ckpt.wtc"
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo"}
+    out = subprocess.run(
+        [sys.executable, "-m", "wavelettransforms_tpu.cli.codec",
+         "--mode=encode", f"--model_path={src}", f"--output={wtc}",
+         "--wavelet=haar", "--level=1", "--verify"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["tensors"] == 2
+
+    dec = tmp_path / "decoded"
+    out = subprocess.run(
+        [sys.executable, "-m", "wavelettransforms_tpu.cli.codec",
+         "--mode=decode", f"--model_path={wtc}", f"--output={dec}"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    from wavelettransforms_tpu.models.hf_io import load_torch_state
+
+    back = load_torch_state(str(dec))
+    for k, v in params.items():
+        np.testing.assert_allclose(back[k], v, rtol=0, atol=2e-6)
