@@ -84,3 +84,21 @@ def test_sharded_lossless_roundtrip(mesh, rng):
     x = rng.standard_normal((1, 128, 128)).astype(np.float32)
     out = np.asarray(run_sharded_prune(jnp.asarray(x), "db6", 2, 0.0, mesh))
     np.testing.assert_allclose(out, x, atol=1e-5)
+
+
+def test_percentile_abs_batched_matches_numpy(rng):
+    """Batched same-shape descent == per-slice np.percentile exactly."""
+    import jax.numpy as jnp
+
+    from wavelettransforms_tpu.parallel.quantile import (percentile_abs,
+                                                         percentile_abs_batched)
+
+    stacked = jnp.asarray(
+        rng.standard_normal((5, 33, 4, 4)).astype(np.float32))
+    for p in (0.0, 50.0, 61.8, 100.0):
+        got = np.asarray(percentile_abs_batched(stacked, p))
+        for g in range(stacked.shape[0]):
+            want = np.percentile(np.abs(np.asarray(stacked[g])), p)
+            assert got[g] == np.float32(want), (p, g)
+            single = float(percentile_abs(stacked[g], p))
+            assert got[g] == np.float32(single)

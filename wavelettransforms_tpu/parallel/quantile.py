@@ -138,6 +138,48 @@ def _kth_smallest_bits_pallas(bits_leaves, ks, interpret: bool = False,
     return t
 
 
+def percentile_abs_batched(stacked, percentile, radix_bits: int | None = None):
+    """Exact np.percentile(|stacked[g]|, percentile) independently for each
+    slice of a same-shape stack, as ONE natural-layout descent: every step
+    is a single fused reduction over the middle axes with each slice's own
+    candidate prefixes on a trailing broadcast axis.  Used by the gang
+    encode so a group of G same-shape layers costs ceil(32/d) kernels, not
+    G * ceil(32/d).  Returns (G,) float32 thresholds, bit-identical to the
+    per-slice ``percentile_abs``."""
+    d = NATURAL_RADIX_BITS if radix_bits is None else radix_bits
+    g = stacked.shape[0]
+    n = stacked.size // g
+    rank = _numpy_rank(float(percentile), n, stacked.dtype)
+    k = int(rank)
+    frac = rank - k
+    ks = jnp.asarray([k, min(k + 1, n - 1)], jnp.int32)  # (K,), same per g
+    bits = lax.bitcast_convert_type(
+        jnp.abs(stacked.astype(jnp.float32)), jnp.uint32)
+    mid_axes = tuple(range(1, bits.ndim))
+    t = jnp.zeros((g, 2), jnp.uint32)
+    pos = 32
+    while pos > 0:
+        width = min(d, pos)
+        pos -= width
+        ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
+        cand = t[:, :, None] | (ms[None, None, :] << jnp.uint32(pos))
+        flat = cand.reshape(g, -1)  # (G, C)
+        bflat = flat.reshape((g,) + (1,) * (bits.ndim - 1) + (flat.shape[1],))
+        cnt = jnp.sum(bits[..., None] < bflat, axis=mid_axes).astype(
+            jnp.int32)  # (G, C)
+        keep = cnt.reshape(cand.shape) <= ks[None, :, None]
+        t = jnp.max(jnp.where(keep, cand, t[:, :, None]), axis=2)
+    v = _bits_to_float(t)  # (G, 2)
+    if frac == 0.0:
+        return v[:, 0]
+    a, b = v[:, 0], v[:, 1]
+    tt = v.dtype.type(frac)
+    diff = b - a
+    if frac >= 0.5:
+        return b - diff * (v.dtype.type(1) - tt)
+    return a + diff * tt
+
+
 def percentile_abs_grouped(arrs, percentiles, interpret: bool = False,
                            radix_bits: int | None = None):
     """INDEPENDENT exact np.percentile(|a_i|, p_i) for a list of arrays,

@@ -106,8 +106,7 @@ def dwt_prune_tensor_batched(w, wavelet: str, level: int, percentile,
     batched so a whole group of layers is one fused program instead of G
     sequential ones (the reference loops layers one at a time,
     /root/reference/ResNet/dwt_pruning.py:158)."""
-    from ..parallel.quantile import (_bits_of_abs, _kth_smallest_bits,
-                                     _numpy_rank)
+    from ..parallel.quantile import percentile_abs_batched
 
     g = w.shape[0]
     if w.ndim - 1 < 2:
@@ -117,22 +116,7 @@ def dwt_prune_tensor_batched(w, wavelet: str, level: int, percentile,
         lvl = clamped_level(w.shape[1:], wavelet, level)
         coeffs = dj.wavedec2(w, wavelet, lvl, mode)
         arr, slices = dj.coeffs_to_array(coeffs)
-    n = arr.size // g
-    rank = _numpy_rank(float(percentile), n, arr.dtype)
-    k = int(rank)
-    frac = rank - k
-    ks = (k, min(k + 1, n - 1))
-    bits = jax.vmap(_bits_of_abs)(arr.reshape(g, -1))
-    t = jax.vmap(lambda b: _kth_smallest_bits(b, ks))(bits)  # (G, 2)
-    v = jax.lax.bitcast_convert_type(t, jnp.float32)
-    if frac == 0.0:
-        thr = v[:, 0]
-    else:
-        a, b = v[:, 0], v[:, 1]
-        tt = v.dtype.type(frac)
-        diff = b - a
-        thr = (b - diff * (v.dtype.type(1) - tt) if frac >= 0.5
-               else a + diff * tt)
+    thr = percentile_abs_batched(arr, float(percentile))
     tb = thr.reshape((g,) + (1,) * (arr.ndim - 1))
     pruned_arr = jnp.where(jnp.abs(arr) < tb, jnp.zeros((), arr.dtype), arr)
     if w.ndim - 1 < 2:
@@ -146,9 +130,9 @@ def dwt_prune_tensor_batched(w, wavelet: str, level: int, percentile,
 
 
 def _use_grouped_gang(tensors, mode) -> bool:
-    """Route the whole-checkpoint sweep through the grouped-percentile
-    Pallas kernel: every layer's exact per-layer percentile descends in the
-    same ceil(32/d) kernel launches (ops/pallas/select.py)."""
+    """Route the whole-checkpoint sweep through the batched natural-layout
+    percentile descent: same-shape layers share one fused reduction per
+    descent step (parallel/quantile.percentile_abs_batched)."""
     try:
         import jax as _jax
 
@@ -166,10 +150,11 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
                          mode: str, percentile: float, out: list,
                          zeros: list, idxs_all: list):
     """Fused sweep: (1) forward transform per same-shape group (batched),
-    (2) ONE grouped radix descent computing every tensor's independent
-    global percentile, (3) threshold + inverse transform per group.
-    Bit-identical to the per-tensor path."""
-    from ..parallel.quantile import percentile_abs_grouped
+    (2) one BATCHED radix descent per group computing every tensor's
+    independent global percentile (single fused reduction per step per
+    group), (3) threshold + inverse transform per group.  Bit-identical to
+    the per-tensor path."""
+    from ..parallel.quantile import percentile_abs_batched
 
     groups: dict = {}
     for i in idxs_all:
@@ -178,7 +163,6 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
 
     # phase 1: mosaics
     mosaics = {}   # group key -> (arr, slices_or_None, lvl)
-    leaf_order = []  # (group key, j, tensor idx)
     for key, idxs in groups.items():
         shape = key[0]
         stacked = (jnp.stack([tensors[i] for i in idxs])
@@ -190,19 +174,12 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
             coeffs = dj.wavedec2(stacked, wavelet, lvl, mode)
             arr, slices = dj.coeffs_to_array(coeffs)
         mosaics[key] = (arr, slices, lvl)
-        for j, i in enumerate(idxs):
-            leaf_order.append((key, j, i))
 
-    # phase 2: one grouped descent over every tensor's packed mosaic
-    leaves = [mosaics[key][0][j] for key, j, _ in leaf_order]
-    thr = percentile_abs_grouped(leaves, float(percentile))
-
-    # phase 3: threshold + inverse per group
-    pos_of = {(key, j): p for p, (key, j, _) in enumerate(leaf_order)}
+    # phases 2+3: per-group batched percentile, threshold + inverse
     for key, idxs in groups.items():
         arr, slices, lvl = mosaics[key]
         g = arr.shape[0]
-        tg = jnp.stack([thr[pos_of[(key, j)]] for j in range(g)])
+        tg = percentile_abs_batched(arr, float(percentile))
         tb = tg.reshape((g,) + (1,) * (arr.ndim - 1))
         pruned_arr = jnp.where(jnp.abs(arr) < tb,
                                jnp.zeros((), arr.dtype), arr)
