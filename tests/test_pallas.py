@@ -169,3 +169,67 @@ def test_bfloat16_roundtrip(rng):
                                   threshold=jnp.float32(10.0),
                                   threshold_ll=True)
     np.testing.assert_allclose(np.asarray(rec_t, np.float32), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "reflect", "zero",
+                                  "periodic", "constant"])
+def test_mode_analysis_matches_engine(mode, rng):
+    """Valid-mode kernel (jnp.pad extension) == XLA engine for every
+    non-periodization boundary mode, odd and even sizes."""
+    for shape in ((2, 64, 128), (1, 37, 67)):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        got = fb.dwt2_level_pallas_mode(x, "db3", mode, interpret=True)
+        cA, (cH, cV, cD) = dj.dwt2(x, "db3", mode)
+        for name, a, b in zip("ll hl lh hh".split(), got,
+                              (cA, cH, cV, cD)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2e-5,
+                err_msg=f"{mode} {shape} {name}")
+
+
+def test_mode_analysis_bior_symmetric(rng):
+    x = jnp.asarray(rng.standard_normal((1, 96, 192)).astype(np.float32))
+    got = fb.dwt2_level_pallas_mode(x, "bior4.4", "symmetric",
+                                    interpret=True)
+    cA, (cH, cV, cD) = dj.dwt2(x, "bior4.4", "symmetric")
+    for a, b in zip(got, (cA, cH, cV, cD)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "zero", "reflect"])
+def test_mode_synthesis_matches_engine(mode, rng):
+    """Valid-mode synthesis kernel == XLA engine idwt2 (and roundtrip
+    reconstructs the signal) for non-periodization modes."""
+    for shape, wav in (((2, 64, 128), "db3"), ((1, 96, 192), "bior4.4")):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ll, hl, lh, hh = fb.dwt2_level_pallas_mode(x, wav, mode,
+                                                   interpret=True)
+        got = fb.idwt2_level_pallas_mode(ll, hl, lh, hh, wav, mode,
+                                         interpret=True)
+        want = dj.idwt2((ll, (hl, lh, hh)), wav, mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-5,
+                                   err_msg=f"{mode} {wav}")
+        # valid-size inverse reconstructs the interior exactly (pywt crops
+        # the waverec output back to the original length)
+        H, W = shape[1], shape[2]
+        np.testing.assert_allclose(np.asarray(got)[:, :H, :W],
+                                   np.asarray(x), rtol=0, atol=2e-5)
+
+
+def test_mode_synthesis_fused_threshold(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    ll, hl, lh, hh = fb.dwt2_level_pallas_mode(x, "db2", "symmetric",
+                                               interpret=True)
+    thr = jnp.float32(0.8)
+    from wavelettransforms_tpu.ops import threshold as th
+
+    got = fb.idwt2_level_pallas_mode(ll, hl, lh, hh, "db2", "symmetric",
+                                     interpret=True, threshold=thr,
+                                     threshold_ll=True)
+    want = fb.idwt2_level_pallas_mode(
+        th.hard_threshold(ll, thr), th.hard_threshold(hl, thr),
+        th.hard_threshold(lh, thr), th.hard_threshold(hh, thr),
+        "db2", "symmetric", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

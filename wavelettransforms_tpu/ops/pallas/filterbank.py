@@ -689,3 +689,400 @@ def waverec2_pallas(coeffs, wavelet: str, interpret: bool | None = None,
                                threshold_ll=first and threshold is not None)
         first = False
     return a
+
+
+# ---------------------------------------------------------------------------
+# Non-periodization boundary modes: XLA edge extension + VALID-mode kernels
+# ---------------------------------------------------------------------------
+#
+# pywt's non-periodization analysis is a VALID filter bank over the
+# (F-1)-extended signal: a[k] = sum_j dec_rev[j] * xe[2k + j] with
+# xe = extend(x)[1:] (ops/dwt_numpy.py conventions), out = (n + F - 1)//2.
+# The extension itself touches only 2*(F-1) edge rows/cols — built with one
+# cheap jnp.pad — so ONE mode-agnostic valid-mode kernel serves symmetric /
+# reflect / zero / periodic / constant (BASELINE.json's symmetric-extension
+# requirement), with all boundary logic out of the kernel.
+
+_PAD_MODE = {
+    "symmetric": "symmetric",
+    "reflect": "reflect",
+    "zero": "constant",
+    "periodic": "wrap",
+    "constant": "edge",
+}
+
+
+def _row_analysis_matrices_valid(w: Wavelet):
+    """Valid-mode banded analysis operator: out[:, 64*j0 + c] =
+    xe_block[128*j0 : 128*j0 + 126 + F] @ T[:, c], T[r, c] = dec_rev[r - 2c]
+    (lo taps in [:, :64], hi in [:, 64:])."""
+    F = w.dec_len
+    lo_rev = w.dec_lo[::-1]
+    hi_rev = w.dec_hi[::-1]
+    rows = _AIN + F - 2
+    T = np.zeros((rows, 2 * _AOUT), np.float32)
+    for c in range(_AOUT):
+        for j in range(F):
+            T[2 * c + j, c] += lo_rev[j]
+            T[2 * c + j, _AOUT + c] += hi_rev[j]
+    return T
+
+
+def _row_pass_valid_mxu(xe, T, F: int, out_cols: int):
+    """Lane-axis valid analysis as banded block matmuls; ``xe`` is already
+    extension-padded (width >= 2*out_cols + F - 2)."""
+    los, his = [], []
+    for j0 in range(out_cols // _AOUT):
+        blk = jax.lax.slice_in_dim(
+            xe, _AIN * j0, _AIN * j0 + _AIN + F - 2, axis=1)
+        both = jnp.dot(blk, T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        los.append(both[:, :_AOUT])
+        his.append(both[:, _AOUT:])
+    return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+
+
+def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
+                         *, tmo: int, lr: int, wp: int, F: int,
+                         lo_rev, hi_rev, tref=None):
+    """Valid-mode fused 2-D analysis over the pre-extended input: one
+    contiguous double-buffered band DMA per step, no boundary cases."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    n = b * nb + i
+    total = pl.num_programs(0) * nb
+
+    def fetch(step):
+        slot = jax.lax.rem(step, jnp.int32(2))
+        r0 = jax.lax.rem(step, jnp.int32(nb)) * (2 * tmo)
+        bb = step // nb
+        return pltpu.make_async_copy(
+            xe_hbm.at[bb, pl.ds(pl.multiple_of(r0, 8), lr), :],
+            band.at[slot], sem.at[slot])
+
+    @pl.when(n == 0)
+    def _():
+        fetch(n).start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        fetch(n + 1).start()
+
+    fetch(n).wait()
+    x = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
+    a0, d0 = _col_pass(x, lo_rev, hi_rev, tmo)
+    if tref is not None:
+        T = tref[...]
+        ll, lh = _row_pass_valid_mxu(a0, T, F, wp)
+        hl, hh = _row_pass_valid_mxu(d0, T, F, wp)
+    else:
+        def row_valid(z):
+            t = z.T
+            return (_deinterleaved_pass(t, lo_rev, wp).T,
+                    _deinterleaved_pass(t, hi_rev, wp).T)
+
+        ll, lh = row_valid(a0)
+        hl, hh = row_valid(d0)
+    ll_ref[...] = ll.astype(ll_ref.dtype)
+    hl_ref[...] = hl.astype(hl_ref.dtype)
+    lh_ref[...] = lh.astype(lh_ref.dtype)
+    hh_ref[...] = hh.astype(hh_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tmo",
+                                             "interpret"))
+def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
+                           tmo: int = 128, interpret: bool | None = None):
+    """Single-level 2-D DWT of (B, H, W) for NON-periodization modes
+    (symmetric / reflect / zero / periodic / constant): jnp.pad edge
+    extension + one fused valid-mode Pallas kernel.  Returns (ll, hl, lh,
+    hh), each (B, (H+F-1)//2, (W+F-1)//2) — pywt sizes."""
+    w = _as_wavelet(wavelet)
+    interpret = INTERPRET if interpret is None else interpret
+    if mode == "periodization":
+        return dwt2_level_pallas(x, wavelet, interpret=interpret)
+    B, H, W = x.shape
+    F = w.dec_len
+    pad = F - 1
+    hp_out = (H + F - 1) // 2
+    wp_out = (W + F - 1) // 2
+    lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
+
+    if mode == "zero":
+        ext = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad)])
+    else:
+        ext = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad)],
+                      mode=_PAD_MODE[mode])
+    xe = ext[:, 1:, 1:]
+
+    tmo = min(tmo, ((hp_out + 7) // 8) * 8)
+    nb = -(-hp_out // tmo)
+    lr = ((2 * tmo + F - 2 + 7) // 8) * 8
+    rows_needed = 2 * tmo * (nb - 1) + lr
+    wp_pad = -(-wp_out // _AOUT) * _AOUT
+    # lane width of the DMA'd band must be 128-aligned
+    cols_needed = -(-(2 * wp_pad + F - 2) // 128) * 128
+    xe = jnp.pad(xe, [(0, 0),
+                      (0, max(0, rows_needed - xe.shape[1])),
+                      (0, max(0, cols_needed - xe.shape[2]))])
+
+    grid = (B, nb)
+    out_shape = [jax.ShapeDtypeStruct((B, nb * tmo, wp_pad), x.dtype)] * 4
+    out_spec = pl.BlockSpec((1, tmo, wp_pad), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    use_mxu = True  # wp_pad is a multiple of _AOUT by construction
+
+    T_np = _row_analysis_matrices_valid(w)
+
+    def wrapped(xe_hbm, tref, ll, hl, lh, hh, band, sem):
+        _analysis_kernel_ext(
+            xe_hbm, ll.at[0], hl.at[0], lh.at[0], hh.at[0], band, sem,
+            tmo=tmo, lr=lr, wp=wp_pad, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
+            tref=tref)
+
+    ll, hl, lh, hh = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, lr, xe.shape[2]), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(xe, jnp.asarray(T_np))
+    return tuple(s[:, :hp_out, :wp_out] for s in (ll, hl, lh, hh))
+
+
+def _row_synthesis_matrices_valid(w: Wavelet, wv: int):
+    """Valid-mode banded synthesis operator: out col block
+    X[128*b0 + c] = sum_k a[64*b0 + kr] rec_lo[c - 2kr + F - 2] + (hi term);
+    S is (2*wv, 128) with lo rows stacked over hi rows."""
+    F = w.rec_len
+    lo = w.rec_lo
+    hi = w.rec_hi
+    S = np.zeros((2 * wv, _MXU_OUT), np.float32)
+    for kr in range(wv):
+        for c in range(_MXU_OUT):
+            idx = c - 2 * kr + F - 2
+            if 0 <= idx < F:
+                S[kr, c] += lo[idx]
+                S[wv + kr, c] += hi[idx]
+    return S
+
+
+def _wsynth_valid_mxu(a, d, S, wv: int, out_cols: int):
+    """Lane-axis valid synthesis as banded block matmuls; coefficient
+    arrays are tail-padded so every slice is in range."""
+    outs = []
+    for b0 in range(out_cols // _MXU_OUT):
+        sa = jax.lax.slice_in_dim(a, 64 * b0, 64 * b0 + wv, axis=1)
+        sd = jax.lax.slice_in_dim(d, 64 * b0, 64 * b0 + wv, axis=1)
+        blk = jnp.concatenate([sa, sd], axis=1)
+        outs.append(jnp.dot(blk, S, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _row_synth_polyphase_valid(a0, d0, lo_rev, hi_rev, tno: int):
+    """Sublane-axis valid synthesis: out row i (band-local, band starts at an
+    EVEN global row) = sum over j with j ≡ (1 - i) (mod 2) of
+    rec_rev[j] * band[(i + j - 1) // 2]."""
+    F = len(lo_rev)
+    cols = a0.shape[1]
+    phases = []
+    for rho in (0, 1):
+        acc = None
+        for j in range(F):
+            if (rho + j - 1) % 2:
+                continue
+            delta = (rho + j - 1) // 2
+            pa = jax.lax.slice_in_dim(
+                a0, delta, delta + tno // 2, axis=0) * lo_rev[j]
+            pd = jax.lax.slice_in_dim(
+                d0, delta, delta + tno // 2, axis=0) * hi_rev[j]
+            term = pa + pd
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    return jnp.stack(phases, axis=1).reshape(tno, cols)
+
+
+def _synthesis2d_kernel_ext(ll_hbm, hl_hbm, lh_hbm, hh_hbm, sref, out_ref,
+                            b_ll, b_hl, b_lh, b_hh, sem, *,
+                            tno: int, krows: int, wv: int, wout: int, F: int,
+                            lo_rev, hi_rev, thr_ref=None,
+                            thr_ll: bool = False):
+    """Fused valid-mode 2-D synthesis: one contiguous coefficient band DMA
+    per subband per step (double-buffered), W-axis banded-matmul synthesis,
+    then row-axis polyphase."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    n = b * nb + i
+    total = pl.num_programs(0) * nb
+
+    def start_fetch(step):
+        slot = jax.lax.rem(step, jnp.int32(2))
+        bb = step // nb
+        k0 = jax.lax.rem(step, jnp.int32(nb)) * (tno // 2)
+        cps = []
+        for s, (hbm, buf) in enumerate(((ll_hbm, b_ll), (hl_hbm, b_hl),
+                                        (lh_hbm, b_lh), (hh_hbm, b_hh))):
+            cps.append(pltpu.make_async_copy(
+                hbm.at[bb, pl.ds(pl.multiple_of(k0, 8), krows), :],
+                buf.at[slot], sem.at[slot, s]))
+        return cps
+
+    @pl.when(n == 0)
+    def _():
+        for c in start_fetch(n):
+            c.start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        for c in start_fetch(n + 1):
+            c.start()
+
+    for c in start_fetch(n):
+        c.wait()
+
+    slot = jax.lax.rem(n, jnp.int32(2))
+
+    def rd(buf, detail: bool):
+        x = buf[slot].astype(jnp.float32)
+        if thr_ref is not None and (detail or thr_ll):
+            t = thr_ref[0, 0]
+            x = jnp.where(jnp.abs(x) < t, jnp.zeros((), x.dtype), x)
+        return x
+
+    S = sref[...]
+    a0 = _wsynth_valid_mxu(rd(b_ll, False), rd(b_lh, True), S, wv, wout)
+    d0 = _wsynth_valid_mxu(rd(b_hl, True), rd(b_hh, True), S, wv, wout)
+    out = _row_synth_polyphase_valid(a0, d0, lo_rev, hi_rev, tno)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tno",
+                                             "interpret", "threshold_ll"))
+def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
+                            mode: str = "symmetric", tno: int = 256,
+                            interpret: bool | None = None,
+                            threshold=None, threshold_ll: bool = False):
+    """Single-level 2-D synthesis for NON-periodization modes from four
+    (B, HC, WC) subbands -> (B, 2*HC - F + 2, 2*WC - F + 2) (pywt valid
+    sizes), as one fused Pallas kernel.  ``threshold`` fuses |c|<thr->0
+    into the coefficient loads (LL too iff ``threshold_ll``)."""
+    w = _as_wavelet(wavelet)
+    interpret = INTERPRET if interpret is None else interpret
+    if mode == "periodization":
+        return idwt2_level_pallas(ll, hl, lh, hh, wavelet,
+                                  interpret=interpret, threshold=threshold,
+                                  threshold_ll=threshold_ll)
+    B, HC, WC = ll.shape
+    F = w.rec_len
+    h_out = 2 * HC - F + 2
+    w_out = 2 * WC - F + 2
+    lo_rev = tuple(float(v) for v in w.rec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.rec_hi[::-1])
+
+    tno = min(tno, ((h_out + 15) // 16) * 16)
+    if tno % 2:
+        tno += 1
+    nb = -(-h_out // tno)
+    khalo = (F - 1) // 2
+    krows = ((tno // 2 + khalo + 7) // 8) * 8
+    rows_needed = (nb - 1) * (tno // 2) + krows
+    wout_pad = -(-w_out // _MXU_OUT) * _MXU_OUT
+    wv = 64 + (F - 1) // 2
+    # lane width of the DMA'd coefficient bands must be 128-aligned
+    cols_needed = -(-((wout_pad // _MXU_OUT - 1) * 64 + wv) // 128) * 128
+
+    def prep(c):
+        return jnp.pad(c, [(0, 0),
+                           (0, max(0, rows_needed - HC)),
+                           (0, max(0, cols_needed - WC))])
+
+    ll, hl, lh, hh = (prep(c) for c in (ll, hl, lh, hh))
+    S_np = _row_synthesis_matrices_valid(w, wv)
+
+    has_thr = threshold is not None
+    thr_args = ()
+    thr_specs = []
+    if has_thr:
+        thr_args = (jnp.asarray(threshold, jnp.float32).reshape(1, 1),)
+        thr_specs = [pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+
+    grid = (B, nb)
+    out_spec = pl.BlockSpec((1, tno, wout_pad), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    band = pltpu.VMEM((2, krows, ll.shape[2]), ll.dtype)
+
+    def wrapped(ll_h, hl_h, lh_h, hh_h, sref, *rest):
+        (tref, out, b_ll, b_hl, b_lh, b_hh, sem) = (
+            rest if has_thr else (None,) + rest)
+        _synthesis2d_kernel_ext(
+            ll_h, hl_h, lh_h, hh_h, sref, out.at[0],
+            b_ll, b_hl, b_lh, b_hh, sem,
+            tno=tno, krows=krows, wv=wv, wout=wout_pad, F=F,
+            lo_rev=lo_rev, hi_rev=hi_rev, thr_ref=tref,
+            thr_ll=threshold_ll)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] + thr_specs),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nb * tno, wout_pad), ll.dtype),
+        scratch_shapes=[band, band, band, band,
+                        pltpu.SemaphoreType.DMA((2, 4))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(ll, hl, lh, hh, jnp.asarray(S_np), *thr_args)
+    return out[:, :h_out, :w_out]
+
+
+def wavedec2_pallas_mode(x, wavelet: str, level: int,
+                         mode: str = "symmetric",
+                         interpret: bool | None = None):
+    """Multi-level analysis for any boundary mode (pywt sizes per level)."""
+    if mode == "periodization":
+        return wavedec2_pallas(x, wavelet, level, interpret)
+    coeffs = []
+    a = x
+    for _ in range(level):
+        ll, hl, lh, hh = dwt2_level_pallas_mode(a, wavelet, mode,
+                                                interpret=interpret)
+        coeffs.append((hl, lh, hh))
+        a = ll
+    return [a] + coeffs[::-1]
+
+
+def waverec2_pallas_mode(coeffs, wavelet: str, mode: str = "symmetric",
+                         interpret: bool | None = None, threshold=None):
+    """Multi-level synthesis for any boundary mode; crops reconstruction
+    overshoot between levels like pywt.waverec2.  ``threshold`` fuses the
+    hard threshold into every stored-coefficient load (LL only at the
+    coarsest level)."""
+    if mode == "periodization":
+        return waverec2_pallas(coeffs, wavelet, interpret, threshold)
+    a = coeffs[0]
+    first = True
+    for (hl, lh, hh) in coeffs[1:]:
+        want = hl.shape
+        if a.shape[1] > want[1]:
+            a = jax.lax.slice_in_dim(a, 0, want[1], axis=1)
+        if a.shape[2] > want[2]:
+            a = jax.lax.slice_in_dim(a, 0, want[2], axis=2)
+        a = idwt2_level_pallas_mode(
+            a, hl, lh, hh, wavelet, mode, interpret=interpret,
+            threshold=threshold,
+            threshold_ll=first and threshold is not None)
+        first = False
+    return a

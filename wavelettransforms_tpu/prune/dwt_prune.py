@@ -36,11 +36,14 @@ def clamped_level(shape, wavelet, level: int) -> int:
     return min(level, dwt_max_level(min(shape[-2:]), wavelet))
 
 
-def _pallas_eligible(shape, mode: str, axes) -> bool:
-    """Route big, nicely-shaped spatial tensors through the fused Pallas
-    kernels on TPU (identical results; the subband multiset equals the packed
-    mosaic when no mosaic padding occurs, which even dims guarantee)."""
-    if mode != "periodization" or axes != (-2, -1):
+def _pallas_eligible(shape, mode: str, axes, level: int = 1) -> bool:
+    """Route big spatial tensors through the fused Pallas kernels on TPU
+    (identical results: the subband multiset equals the packed mosaic when
+    no mosaic padding occurs — guaranteed by 256-multiples for
+    periodization, and by level==1 for the valid-size modes, whose deeper
+    levels pad the mosaic with zeros that the reference's percentile
+    counts)."""
+    if axes != (-2, -1):
         return False
     try:
         import jax
@@ -50,41 +53,59 @@ def _pallas_eligible(shape, mode: str, axes) -> bool:
     except Exception:
         return False
     h, w = shape[-2], shape[-1]
-    return h % 256 == 0 and w % 256 == 0 and h * w >= (1 << 20)
+    if h * w < (1 << 20):
+        return False
+    if mode == "periodization":
+        return h % 256 == 0 and w % 256 == 0
+    return mode in ("symmetric", "reflect", "zero", "periodic",
+                    "constant") and level == 1
 
 
-def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile):
+def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile,
+                             mode: str = "periodization",
+                             coeff_dtype=jnp.float32):
     from ..ops.pallas import filterbank as fb
 
     from ..parallel.quantile import percentile_abs_pytree
 
     lead = w.shape[:-2]
-    x = w.reshape((-1,) + w.shape[-2:]).astype(jnp.float32)
-    coeffs = fb.wavedec2_pallas(x, wavelet, level)
+    x = w.reshape((-1,) + w.shape[-2:]).astype(coeff_dtype)
+    coeffs = fb.wavedec2_pallas_mode(x, wavelet, level, mode)
     # exact numpy-parity percentile via radix selection (a full sort of a
     # 16M-element array costs ~10x more than 32 bandwidth-bound count passes)
     thr = percentile_abs_pytree(coeffs, float(percentile))
     # threshold is fused into the synthesis kernels' coefficient loads —
     # thresholded coefficients never round-trip through HBM
-    rec = fb.waverec2_pallas(coeffs, wavelet, threshold=thr)
+    rec = fb.waverec2_pallas_mode(coeffs, wavelet, mode, threshold=thr)
+    for ax in (-2, -1):
+        if rec.shape[ax] > w.shape[ax]:
+            rec = jax.lax.slice_in_dim(rec, 0, w.shape[ax],
+                                       axis=ax % rec.ndim)
     return rec.reshape(lead + w.shape[-2:]).astype(w.dtype), thr
 
 
 def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
-                     mode: str = "periodization", axes=(-2, -1)):
+                     mode: str = "periodization", axes=(-2, -1),
+                     coeff_dtype=None):
     """Prune one weight tensor.  Returns (pruned, threshold_value).
 
     ``percentile`` in [0, 100] (the reference CLI threshold * 100,
     /root/reference/ResNet/main_pruning.py:186); static, like ``wavelet``,
     ``level``, ``mode``, ``axes`` (rank resolution is host-side for exact
     numpy-percentile parity).
+
+    ``coeff_dtype=jnp.bfloat16`` runs the Pallas filter banks in bf16 (half
+    the HBM traffic, native one-pass MXU dots) — a FAST LOSSY mode for big
+    spatial tensors; default f32 keeps numpy/pywt parity.
     """
     if w.ndim < 2:
         return th.percentile_threshold(w, percentile)
     lvl = clamped_level([w.shape[axes[0]], w.shape[axes[1]]] if axes != (-2, -1)
                         else w.shape, wavelet, level)
-    if lvl > 0 and _pallas_eligible(w.shape, mode, axes):
-        return _dwt_prune_tensor_pallas(w, wavelet, lvl, percentile)
+    if lvl > 0 and _pallas_eligible(w.shape, mode, axes, lvl):
+        return _dwt_prune_tensor_pallas(
+            w, wavelet, lvl, percentile, mode,
+            coeff_dtype=coeff_dtype or jnp.float32)
     coeffs = dj.wavedec2(w, wavelet, lvl, mode, axes=axes)
     arr, slices = dj.coeffs_to_array(coeffs, axes=axes)
     pruned_arr, thr = th.percentile_threshold(arr, percentile)
@@ -141,7 +162,7 @@ def _use_grouped_gang(tensors, mode) -> bool:
     except Exception:
         return False
     eligible = [t for t in tensors
-                if not _pallas_eligible(t.shape, mode, (-2, -1))
+                if not _pallas_eligible(t.shape, mode, (-2, -1), 1)
                 and t.dtype == jnp.float32]
     return len(eligible) >= 2
 
@@ -212,8 +233,12 @@ def _gang_encode(tensors: tuple, wavelet: str, level: int,
     use_grouped = _use_grouped_gang(tensors, mode)
     grouped_idxs = []
     for i, t in enumerate(tensors):
+        lvl_t = (clamped_level(t.shape, wavelet, level)
+                 if t.ndim >= 2 else 0)
         if (use_grouped
-                and not _pallas_eligible(t.shape, mode, (-2, -1))
+                and not (lvl_t > 0
+                         and _pallas_eligible(t.shape, mode, (-2, -1),
+                                              lvl_t))
                 and t.dtype == jnp.float32):
             grouped_idxs.append(i)
         else:
