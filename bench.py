@@ -97,18 +97,63 @@ def main():
     log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
         f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
 
+    detail = {
+        "backend": backend,
+        "roundtrip_ms_4096x4096_bior44": round(t_pallas * 1e3, 3),
+        "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
+        "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),
+        "resnet18_prunable_params": n_params,
+    }
+
+    if on_tpu:
+        # full prune pipeline: encode -> exact global percentile ->
+        # fused-threshold decode (BASELINE config 4 shape)
+        from wavelettransforms_tpu.prune.dwt_prune import dwt_prune_tensor
+
+        x2 = x[0]
+
+        @jax.jit
+        def prune_big(v):
+            out, _ = dwt_prune_tensor(v, wavelet, 4, 50.0)
+            return out
+
+        t0 = time.time()
+        t_prune = chain_bench(prune_big, x2, n1=3, n2=13)
+        log(f"4096^2 L4 full prune: {t_prune*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
+
+        # symmetric boundary mode (valid-mode kernels)
+        def rt_sym(v):
+            s = fb.dwt2_level_pallas_mode(v, wavelet, "symmetric")
+            return fb.idwt2_level_pallas_mode(
+                *s, wavelet, "symmetric")[:, :N, :N]
+
+        t0 = time.time()
+        t_sym = chain_bench(rt_sym, x, n1=3, n2=13)
+        log(f"symmetric-mode roundtrip: {t_sym*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["symmetric_roundtrip_ms"] = round(t_sym * 1e3, 3)
+
+        # bfloat16 coefficient path
+        x16 = x.astype(jnp.bfloat16)
+
+        def rt16(v):
+            return fb.idwt2_level_pallas(
+                *fb.dwt2_level_pallas(v, wavelet), wavelet)
+
+        t0 = time.time()
+        t_bf16 = chain_bench(rt16, x16, n1=3, n2=13)
+        log(f"bf16 roundtrip: {t_bf16*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["bf16_roundtrip_ms"] = round(t_bf16 * 1e3, 3)
+
     result = {
         "metric": "dwt_idwt_fused_roundtrip_throughput",
         "value": round(gbs, 1),
         "unit": "GB/s/chip",
         "vs_baseline": round(t_xla / t_pallas, 2),
-        "detail": {
-            "backend": backend,
-            "roundtrip_ms_4096x4096_bior44": round(t_pallas * 1e3, 3),
-            "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
-            "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),
-            "resnet18_prunable_params": n_params,
-        },
+        "detail": detail,
     }
     print(json.dumps(result), flush=True)
 
