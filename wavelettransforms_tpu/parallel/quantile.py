@@ -41,8 +41,8 @@ def _bits_of_abs(x):
 #     one HBM read with double-buffered DMA (16.7M elements: d=1 3.5ms,
 #     d=2 2.1ms, d=3 1.96ms, d=4 3.0ms).
 # The legacy flat broadcast form (bits[None, :] < cand[:, None]) does NOT
-# fuse (each candidate became its own pass) — kept only for the sharded
-# psum descent where the per-shard count is one comparison per step.
+# fuse (each candidate became its own pass) — kept only as the int64
+# fallback for >= 2^31-element global counts (sharded or not) and for CPU.
 RADIX_BITS = 1
 NATURAL_RADIX_BITS = 3
 PALLAS_RADIX_BITS = 3
@@ -85,12 +85,17 @@ def _kth_smallest_bits(bits, ks, axis_name=None, radix_bits: int | None = None):
     return t
 
 
-def _kth_smallest_bits_natural(xs, ks, radix_bits: int | None = None):
+def _kth_smallest_bits_natural(xs, ks, radix_bits: int | None = None,
+                               axis_name=None):
     """Radix descent with counts taken in each array's NATURAL layout:
     ``xs`` is a list of arrays (any shapes — a pytree's leaves); each step
     counts |x| bits below all candidate prefixes via a trailing broadcast
     axis, which XLA fuses into ONE reduction pass per leaf with no layout
-    change.  ks: (K,) global ranks across all leaves together."""
+    change.  ks: (K,) global ranks across all leaves together.
+
+    With ``axis_name`` (inside shard_map), per-shard counts are psum'd so
+    ks index the GLOBAL order — the distributed descent costs ceil(32/d)
+    psums of a (K*M,) vector instead of 32."""
     d = NATURAL_RADIX_BITS if radix_bits is None else radix_bits
     ks = jnp.asarray(ks, dtype=jnp.int32)
     kk = ks.shape[0]
@@ -109,6 +114,8 @@ def _kth_smallest_bits_natural(xs, ks, radix_bits: int | None = None):
             cnt = cnt + jnp.sum(
                 b[..., None] < flat, axis=tuple(range(b.ndim))
             ).astype(jnp.int32)
+        if axis_name is not None:
+            cnt = lax.psum(cnt, axis_name)
         keep = cnt.reshape(cand.shape) <= ks[:, None]
         t = jnp.max(jnp.where(keep, cand, t[:, None]), axis=1)
     return t
@@ -259,6 +266,8 @@ def percentile_abs(x, percentile, axis_name=None, total_size: int | None = None)
     ks = (k, min(k + 1, n - 1))
     if _use_pallas_select([x], axis_name):
         t = _kth_smallest_bits_pallas([_bits_of_abs(x)], ks)
+    elif axis_name is not None and n < (1 << 31):
+        t = _kth_smallest_bits_natural([x], ks, axis_name=axis_name)
     elif _use_natural([x], axis_name):
         t = _kth_smallest_bits_natural([x], ks)
     else:
@@ -298,6 +307,8 @@ def percentile_abs_pytree(tree, percentile, axis_name=None,
     if _use_pallas_select(leaves, axis_name):
         # per-leaf counting: no concatenated copy of the coefficients
         t = _kth_smallest_bits_pallas([_bits_of_abs(l) for l in leaves], ks)
+    elif axis_name is not None and n < (1 << 31):
+        t = _kth_smallest_bits_natural(leaves, ks, axis_name=axis_name)
     elif _use_natural(leaves, axis_name):
         t = _kth_smallest_bits_natural(leaves, ks)
     else:
