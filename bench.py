@@ -59,10 +59,12 @@ def main():
     else:
         roundtrip = jax.jit(lambda v: dj.waverec2_packed(
             dj.wavedec2_packed(v[0], wavelet, 1), wavelet, 1, N, N)[None])
-    t_pallas = chain_bench(roundtrip, x)
+    spreads = []
+    t_pallas = chain_bench(roundtrip, x, spread_out=spreads)
     gbs = 2 * 2 * nbytes / t_pallas / 1e9
     log(f"fused roundtrip {wavelet} L1 {N}^2: {t_pallas*1e3:.3f} ms "
-        f"-> {gbs:.1f} GB/s (setup {time.time()-t0:.0f}s)")
+        f"-> {gbs:.1f} GB/s (spread {spreads[-1]*100:.1f}%, "
+        f"setup {time.time()-t0:.0f}s)")
 
     # XLA-conv baseline for the same op
     t0 = time.time()
@@ -93,7 +95,7 @@ def main():
         return out
 
     t0 = time.time()
-    t_encode = chain_bench(jax.jit(encode), tensors, n1=3, n2=13)
+    t_encode = chain_bench(jax.jit(encode), tensors)
     log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
         f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
 
@@ -103,6 +105,7 @@ def main():
         "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
         "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),
         "resnet18_prunable_params": n_params,
+        "roundtrip_spread_pct": round(spreads[0] * 100, 1),
     }
 
     if on_tpu:
@@ -118,7 +121,7 @@ def main():
             return out
 
         t0 = time.time()
-        t_prune = chain_bench(prune_big, x2, n1=3, n2=13)
+        t_prune = chain_bench(prune_big, x2)
         log(f"4096^2 L4 full prune: {t_prune*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
@@ -130,7 +133,7 @@ def main():
                 *s, wavelet, "symmetric")[:, :N, :N]
 
         t0 = time.time()
-        t_sym = chain_bench(rt_sym, x, n1=3, n2=13)
+        t_sym = chain_bench(rt_sym, x)
         log(f"symmetric-mode roundtrip: {t_sym*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["symmetric_roundtrip_ms"] = round(t_sym * 1e3, 3)
@@ -143,7 +146,7 @@ def main():
                 *fb.dwt2_level_pallas(v, wavelet), wavelet)
 
         t0 = time.time()
-        t_bf16 = chain_bench(rt16, x16, n1=3, n2=13)
+        t_bf16 = chain_bench(rt16, x16)
         log(f"bf16 roundtrip: {t_bf16*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["bf16_roundtrip_ms"] = round(t_bf16 * 1e3, 3)
