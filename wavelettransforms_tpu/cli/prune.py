@@ -110,13 +110,32 @@ def run_pruning_experiment(model_path: str, wavelet: str, level: int,
                        stats.total_pruned, stats.total_non_zero, d)
         results["min"] = stats
 
-    threads = [threading.Thread(target=run_random),
-               threading.Thread(target=run_min)]
+    # Per-thread exception isolation (reference threaded_pruning,
+    # /root/reference/ResNet/main_pruning.py:118-127): a baseline pruner
+    # failing must not silently yield an experiment with a missing
+    # checkpoint.
+    errors: dict[str, BaseException] = {}
+
+    def isolated(name, fn):
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — must surface anything
+                absl_logging.error("Error in %s pruning: %s", name, e)
+                errors[name] = e
+        return run
+
+    threads = [threading.Thread(target=isolated("random", run_random)),
+               threading.Thread(target=isolated("min", run_min))]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     log_worker.close()
+    if errors:
+        raise RuntimeError(
+            "pruning thread(s) failed: "
+            + "; ".join(f"{k}: {v!r}" for k, v in sorted(errors.items())))
     absl_logging.info("All pruning methods completed successfully.")
     return results, guid
 

@@ -12,7 +12,8 @@ Container: one safetensors file (interops with the C++ mmap reader in
 ``runtime/native.py`` and the HF ecosystem) holding per-tensor entries
 
     <name>::v   coefficient values (dense mosaic, or the nonzeros)
-    <name>::i   int32 flat indices into the mosaic (sparse storage only)
+    <name>::i   flat indices into the mosaic (sparse storage only; int32,
+                widened to int64 for mosaics of >= 2^31 elements)
 
 plus a single JSON document under the safetensors ``__metadata__`` header
 describing, per tensor: original shape/dtype, wavelet, clamped level, mode,
@@ -152,7 +153,10 @@ def encode_tensor(w, wavelet: str = "bior4.4", level: int = 5,
 
     flat = stored.ravel()
     nz = np.flatnonzero(flat)
-    sparse_bytes = nz.size * (4 + stored.itemsize)
+    # int32 indices only fit mosaics below 2^31 elements; larger tensors
+    # store 8-byte indices instead of silently wrapping on decode.
+    idx_dtype = np.int32 if flat.size <= np.iinfo(np.int32).max else np.int64
+    sparse_bytes = nz.size * (np.dtype(idx_dtype).itemsize + stored.itemsize)
     dense_bytes = stored.nbytes
     use_sparse = (storage == "sparse"
                   or (storage == "auto" and sparse_bytes < dense_bytes))
@@ -160,7 +164,7 @@ def encode_tensor(w, wavelet: str = "bior4.4", level: int = 5,
     if use_sparse:
         meta["storage"] = "sparse"
         arrays = {"v": np.ascontiguousarray(flat[nz]),
-                  "i": nz.astype(np.int32)}
+                  "i": nz.astype(idx_dtype)}
     else:
         meta["storage"] = "dense"
         arrays = {"v": stored}

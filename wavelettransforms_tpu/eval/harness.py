@@ -61,40 +61,53 @@ def evaluate_model(model, variables, batches):
     total_loss = 0.0
     num_batches = 0
     batch_times: list = []
+    batch_sizes: list = []
+    n_classes = None
 
     @jax.jit
-    def forward(variables, images):
+    def forward(variables, images, labels):
+        # loss stays on-device with the forward pass — mean CE per batch,
+        # averaged over batches (reference semantics, eval_model.py:50-52
+        # + :81); only preds and the loss scalar cross to the host.
         logits = model.apply(variables, images)
-        return logits, jnp.argmax(logits, axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        return jnp.argmax(logits, axis=-1), -jnp.mean(ll)
 
     for i, (images, labels) in enumerate(batches):
-        tb = time.perf_counter()
-        logits, preds = forward(variables, jnp.asarray(images))
-        logits = np.asarray(logits)
-        batch_times.append(time.perf_counter() - tb)
+        images = jnp.asarray(images)
         labels = np.asarray(labels)
-        if labels.size and labels.max() >= logits.shape[-1]:
+        if n_classes is None:
+            n_classes = int(jax.eval_shape(
+                lambda v, im: model.apply(v, im), variables,
+                images).shape[-1])
+        if labels.size and labels.max() >= n_classes:
             raise ValueError(
                 f"label {labels.max()} out of range for model with "
-                f"{logits.shape[-1]} classes — check the dataset's class "
+                f"{n_classes} classes — check the dataset's class "
                 "space (e.g. --synthetic_classes)")
-        # mean CE per batch, averaged over batches (reference semantics,
-        # eval_model.py:50-52 + :81)
-        logp = logits - np.log(np.sum(np.exp(
-            logits - logits.max(-1, keepdims=True)), -1, keepdims=True)) \
-            - logits.max(-1, keepdims=True)
-        total_loss += float(-np.mean(logp[np.arange(len(labels)), labels]))
+        tb = time.perf_counter()
+        preds, loss = forward(variables, images, jnp.asarray(labels))
+        preds = np.asarray(preds)  # host read forces device completion
+        batch_times.append(time.perf_counter() - tb)
+        batch_sizes.append(len(labels))
+        total_loss += float(loss)
         num_batches += 1
-        all_preds.extend(np.asarray(preds).tolist())
+        all_preds.extend(preds.tolist())
         all_labels.extend(labels.tolist())
         if i % 10 == 0:
             log.info("Processed batch %d (total preds %d)", i, len(all_preds))
     avg_loss = total_loss / num_batches if num_batches else float("inf")
-    steady = batch_times[1:] if len(batch_times) > 1 else batch_times
-    mean_batch = float(np.mean(steady)) if steady else 0.0
+    # steady-state window = batches 1..N (batch 0 pays the compile); both
+    # mean latency and images/s are computed over the SAME window.
+    if len(batch_times) > 1:
+        steady_t, steady_n = batch_times[1:], batch_sizes[1:]
+    else:
+        steady_t, steady_n = batch_times, batch_sizes
+    mean_batch = float(np.mean(steady_t)) if steady_t else 0.0
+    ips = (float(np.sum(steady_n)) / float(np.sum(steady_t))
+           if steady_t and np.sum(steady_t) > 0 else 0.0)
     n = len(all_preds)
-    avg_batch_size = n / num_batches if num_batches else 0.0
-    ips = avg_batch_size / mean_batch if mean_batch > 0 else 0.0
     timing = {"mean_batch_ms": mean_batch * 1e3, "images_per_s": ips}
     return all_labels, all_preds, avg_loss, n, timing
 

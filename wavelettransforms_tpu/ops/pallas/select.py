@@ -14,6 +14,12 @@ Routing (see quantile._use_pallas_select): only leaves whose flat
 the natural-layout XLA descent — retiling (O, I, 3, 3) tensors to lane
 layout runs at ~4.5 GB/s and would dominate everything.
 
+Leaves whose size is a multiple of 1024 (the (8, 128) f32 DMA tile) but not
+of the 512K block are handled with a PARTIAL FINAL BLOCK inside the kernel
+(smaller last DMA + masked count) — no padded HBM copy of the leaf.  Only
+the tile-unaligned remainder (< 1024 elements, interpret/test paths) falls
+back to pad-by-concatenate.
+
 Counts are int32 (fine for arrays < 2^31 elements; asserted by the caller).
 """
 from __future__ import annotations
@@ -28,34 +34,83 @@ from jax.experimental.pallas import tpu as pltpu
 # Elements per grid block: 512K x 4B = 2 MB (VMEM 2 slots = 4 MB).
 _BLK = 512 * 1024
 _LANES = 128
+_TILE = 8 * _LANES  # (8, 128) f32 DMA tile
 _PAD = jnp.uint32(0xFFFFFFFF)  # never strictly below any candidate
 
 
 def _count_kernel(cand_ref, bits_hbm, out_ref, band, acc, sem, *, nblk: int,
-                  ncand: int):
+                  ncand: int, rows: int, tail_rows: int):
     i = pl.program_id(0)
-    rows = _BLK // _LANES
+    ragged = tail_rows != rows
 
-    def fetch(step):
+    def dmas(step):
         slot = jax.lax.rem(step, jnp.int32(2))
-        return pltpu.make_async_copy(
+        full = pltpu.make_async_copy(
             bits_hbm.at[pl.ds(step * rows, rows), :],
             band.at[slot], sem.at[slot])
+        if not ragged:
+            return full, full
+        tail = pltpu.make_async_copy(
+            bits_hbm.at[pl.ds(step * rows, tail_rows), :],
+            band.at[slot, pl.ds(0, tail_rows), :], sem.at[slot])
+        return full, tail
+
+    def start(step):
+        full, tail = dmas(step)
+        if not ragged:
+            full.start()
+            return
+
+        @pl.when(step < nblk - 1)
+        def _():
+            full.start()
+
+        @pl.when(step == nblk - 1)
+        def _():
+            tail.start()
+
+    def wait(step):
+        full, tail = dmas(step)
+        if not ragged:
+            full.wait()
+            return
+
+        @pl.when(step < nblk - 1)
+        def _():
+            full.wait()
+
+        @pl.when(step == nblk - 1)
+        def _():
+            tail.wait()
 
     @pl.when(i == 0)
     def _():
         for c in range(ncand):
             acc[c] = jnp.int32(0)
-        fetch(i).start()
+        start(i)
 
     @pl.when(i + 1 < nblk)
     def _():
-        fetch(i + 1).start()
+        start(i + 1)
 
-    fetch(i).wait()
+    wait(i)
     blk = band[jax.lax.rem(i, jnp.int32(2))]
-    for c in range(ncand):
-        acc[c] += jnp.sum((blk < cand_ref[c]).astype(jnp.int32))
+    if not ragged:
+        for c in range(ncand):
+            acc[c] += jnp.sum((blk < cand_ref[c]).astype(jnp.int32))
+    else:
+        # the final block's unfetched rows hold stale data — count only the
+        # DMA'd region there
+        @pl.when(i < nblk - 1)
+        def _():
+            for c in range(ncand):
+                acc[c] += jnp.sum((blk < cand_ref[c]).astype(jnp.int32))
+
+        @pl.when(i == nblk - 1)
+        def _():
+            part = blk[:tail_rows]
+            for c in range(ncand):
+                acc[c] += jnp.sum((part < cand_ref[c]).astype(jnp.int32))
 
     @pl.when(i == nblk - 1)
     def _():
@@ -64,9 +119,13 @@ def _count_kernel(cand_ref, bits_hbm, out_ref, band, acc, sem, *, nblk: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ncand", "interpret"))
-def _count_below_padded(bits2d, cands, ncand: int, interpret: bool = False):
-    nblk = bits2d.shape[0] // (_BLK // _LANES)
-    kernel = functools.partial(_count_kernel, nblk=nblk, ncand=ncand)
+def _count_below_2d(bits2d, cands, ncand: int, interpret: bool = False):
+    rows_total = bits2d.shape[0]
+    rows = min(_BLK // _LANES, rows_total)  # single-block arrays shrink
+    nblk = -(-rows_total // rows)
+    tail_rows = rows_total - (nblk - 1) * rows
+    kernel = functools.partial(_count_kernel, nblk=nblk, ncand=ncand,
+                               rows=rows, tail_rows=tail_rows)
     return pl.pallas_call(
         kernel,
         grid=(nblk,),
@@ -77,7 +136,7 @@ def _count_below_padded(bits2d, cands, ncand: int, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((ncand,), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, _BLK // _LANES, _LANES), jnp.uint32),
+            pltpu.VMEM((2, rows, _LANES), jnp.uint32),
             pltpu.SMEM((ncand,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -98,10 +157,12 @@ def count_below(bits_leaves, cands, interpret: bool = False):
     for leaf in bits_leaves:
         flat = leaf.ravel()
         n = flat.size
-        pad = (-n) % _BLK
+        pad = (-n) % _TILE
         if pad:
+            # tile-unaligned remainder (interpret/test paths only — the TPU
+            # routing gate requires size % 1024 == 0): padded copy
             flat = jnp.concatenate(
                 [flat, jnp.full((pad,), _PAD, jnp.uint32)])
         bits2d = flat.reshape(-1, _LANES)
-        total = total + _count_below_padded(bits2d, cands, ncand, interpret)
+        total = total + _count_below_2d(bits2d, cands, ncand, interpret)
     return total

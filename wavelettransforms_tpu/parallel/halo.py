@@ -56,6 +56,11 @@ def _dwt_last_sharded(x, w: Wavelet, axis_name: str):
     the circular wrap replaced by the ring halo.
     """
     F = w.dec_len
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"sharded DWT needs an even local shard length along the "
+            f"transform axis; got local length {x.shape[-1]} — choose a "
+            "device count / level so every level's local length stays even")
     h = F // 2 - 1
     xe = _ring_halo_last(x, h, h, axis_name)
     dec_lo = jnp.asarray(w.dec_lo[::-1].copy(), dtype=x.dtype)
@@ -166,6 +171,13 @@ def run_sharded_prune(x, wavelet: str, level: int, percentile: float,
     from jax.experimental.shard_map import shard_map
 
     ndim = x.ndim
+    n_dev = mesh.shape[axis_name]
+    dim = x.shape[shard_axis % ndim]
+    if dim % (n_dev * (1 << level)):
+        raise ValueError(
+            f"axis of length {dim} sharded over {n_dev} devices must keep an "
+            f"even local length through {level} level(s): need "
+            f"{dim} % {n_dev * (1 << level)} == 0")
     spec = [None] * ndim
     spec[shard_axis % ndim] = axis_name
     pspec = P(*spec)

@@ -115,9 +115,11 @@ def shard_state(state, mesh: Mesh):
 
     out = dict(state)
     out["params"] = jax.tree_util.tree_map_with_path(place, state["params"])
-    # optimizer state mirrors params (momentum buffers)
-    out["opt_state"] = jax.tree_util.tree_map(
-        lambda x: x, state["opt_state"])
+    # optimizer state mirrors params (momentum buffers live under the same
+    # trailing path keys, e.g. …trace…/kernel), so the same rule shards them
+    # identically to their parameters; scalar leaves (step counts) replicate.
+    out["opt_state"] = jax.tree_util.tree_map_with_path(
+        place, state["opt_state"])
     out["batch_stats"] = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())),
         state["batch_stats"])
