@@ -99,8 +99,31 @@ def main():
     log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
         f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
 
+    # ---------------- gang-encoded baseline pruners ------------------------
+    from wavelettransforms_tpu.prune.min_weight import _gang_min
+    from wavelettransforms_tpu.prune.random_prune import _gang_random
+
+    counts = tuple(int(np.prod(s) * 0.47808) for s in shapes)  # t=0.5 budget
+
+    t0 = time.time()
+    t_min = chain_bench(
+        jax.jit(lambda ts: _gang_min(ts, counts)[0]), tensors)
+    log(f"gang min-weight (20 layers, 47.8% budget): {t_min*1e3:.2f} ms "
+        f"(setup {time.time()-t0:.0f}s)")
+
+    import jax.random as jrandom
+
+    rkey = jrandom.PRNGKey(0)
+    t0 = time.time()
+    t_rand = chain_bench(
+        jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors)
+    log(f"gang random (20 layers, matched counts): {t_rand*1e3:.2f} ms "
+        f"(setup {time.time()-t0:.0f}s)")
+
     detail = {
         "backend": backend,
+        "min_weight_gang_ms": round(t_min * 1e3, 2),
+        "random_gang_ms": round(t_rand * 1e3, 2),
         "roundtrip_ms_4096x4096_bior44": round(t_pallas * 1e3, 3),
         "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
         "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),

@@ -187,6 +187,36 @@ def percentile_abs_batched(stacked, percentile, radix_bits: int | None = None):
     return a + diff * tt
 
 
+def kth_smallest_bits_sliced(bits, ks, radix_bits: int | None = None):
+    """Per-slice radix select over a (G, ...) uint32 stack: returns (G,)
+    uint32 where entry g is the ``ks[g]``-th smallest (0-indexed) value of
+    slice ``bits[g]``.  Each descent step is ONE fused natural-layout
+    reduction over the whole stack (candidates on a trailing broadcast
+    axis), like ``percentile_abs_batched`` but with an independent rank per
+    slice — the engine behind the gang-encoded min-weight / random pruning
+    masks (count-threshold selection without sort or scatter).
+
+    ``ks[g] == -1`` is valid and resolves to prefix 0 (used for
+    prune_count == 0: the resulting strict-below mask is empty)."""
+    d = NATURAL_RADIX_BITS if radix_bits is None else radix_bits
+    g = bits.shape[0]
+    ks = jnp.asarray(ks, jnp.int32).reshape(g)
+    mid_axes = tuple(range(1, bits.ndim))
+    t = jnp.zeros((g,), jnp.uint32)
+    pos = 32
+    while pos > 0:
+        width = min(d, pos)
+        pos -= width
+        ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
+        cand = t[:, None] | (ms[None, :] << jnp.uint32(pos))  # (G, M)
+        bcast = cand.reshape((g,) + (1,) * (bits.ndim - 1) + (cand.shape[1],))
+        cnt = jnp.sum(bits[..., None] < bcast, axis=mid_axes).astype(
+            jnp.int32)  # (G, M)
+        keep = cnt <= ks[:, None]
+        t = jnp.max(jnp.where(keep, cand, t[:, None]), axis=1)
+    return t
+
+
 def percentile_abs_grouped(arrs, percentiles, interpret: bool = False,
                            radix_bits: int | None = None):
     """INDEPENDENT exact np.percentile(|a_i|, p_i) for a list of arrays,

@@ -24,6 +24,37 @@ def min_weight_prune_tensor(w, prune_count: int):
     return jnp.where(mask, jnp.zeros((), w.dtype), w)
 
 
+@functools.partial(jax.jit, static_argnames=("counts",))
+def _gang_min(tensors: tuple, counts: tuple):
+    """Whole-checkpoint min-weight sweep as ONE jitted program (the
+    per-method analog of dwt_prune._gang_encode): same-shape layers are
+    stacked and share one per-slice radix count-threshold descent, so the
+    20-layer ResNet-18 pass costs ceil(32/d) fused count passes per shape
+    group instead of 20 sorts + scatters.  Returns (pruned, zero_counts),
+    bit-identical per layer to ``min_weight_prune_tensor``."""
+    n = len(tensors)
+    out: list = [None] * n
+    zeros: list = [None] * n
+    groups: dict = {}
+    for i, t in enumerate(tensors):
+        if t.dtype == jnp.float64:  # f32 bit-order unrepresentable: sort path
+            out[i] = min_weight_prune_tensor(t, counts[i])
+            zeros[i] = th.exact_zero_count(out[i])
+        else:
+            groups.setdefault((t.shape, str(t.dtype)), []).append(i)
+    for idxs in groups.values():
+        stacked = (jnp.stack([tensors[i] for i in idxs])
+                   if len(idxs) > 1 else tensors[idxs[0]][None])
+        bits = th._abs_order_bits(stacked)
+        mask = th.smallest_bits_mask_sliced(
+            bits, tuple(counts[i] for i in idxs))
+        pruned = jnp.where(mask, jnp.zeros((), stacked.dtype), stacked)
+        for j, i in enumerate(idxs):
+            out[i] = pruned[j]
+            zeros[i] = th.exact_zero_count(out[i])
+    return tuple(out), tuple(zeros)
+
+
 def min_weight_pruning(params: dict, selective_stats: PruneStats | None = None,
                        prune_fraction: float | None = None,
                        layer_names=None):
@@ -49,14 +80,14 @@ def min_weight_pruning(params: dict, selective_stats: PruneStats | None = None,
         threshold=selective_stats.threshold if selective_stats else prune_fraction,
     )
     new_params = dict(params)
-    for name in layer_names:
-        key = resolve_param_key(params, name)
-        w = jnp.asarray(params[key])
+    keys = [resolve_param_key(params, name) for name in layer_names]
+    tensors = tuple(jnp.asarray(params[k]) for k in keys)
+    counts = tuple(int(t.size * prune_fraction) for t in tensors)
+    pruned, zeros = _gang_min(tensors, counts)
+    for name, key, w, p, z in zip(layer_names, keys, tensors, pruned, zeros):
         total = int(w.size)
-        count = int(total * prune_fraction)
-        pruned = min_weight_prune_tensor(w, count)
-        nz = total - int(th.exact_zero_count(pruned))
-        new_params[key] = pruned
+        nz = total - int(z)
+        new_params[key] = p
         stats.layers.append(LayerPruneStats(
             layer_name=name, original_param_count=total,
             non_zero_params=nz, pruned_count=total - nz,

@@ -21,24 +21,56 @@ def random_prune_tensor(key, w, prune_count: int):
     return jnp.where(mask, jnp.zeros((), w.dtype), w)
 
 
+@functools.partial(jax.jit, static_argnames=("counts",))
+def _gang_random(key, tensors: tuple, counts: tuple):
+    """Whole-checkpoint random sweep as ONE jitted program: one uint32 key
+    per element, per-layer count-threshold selection of the ``counts[i]``
+    smallest keys (an exactly-uniform random subset — the order statistics
+    of iid keys replace the reference's randperm), with same-size layers
+    sharing one batched radix descent.  Returns (pruned, zero_counts)."""
+    n = len(tensors)
+    subkeys = jax.random.split(key, n)
+    out: list = [None] * n
+    zeros: list = [None] * n
+    groups: dict = {}
+    for i, t in enumerate(tensors):
+        groups.setdefault(t.shape, []).append(i)
+    for shape, idxs in groups.items():
+        # keys are drawn directly in the weights' NATURAL shape — a flat
+        # (G, N) mask would need a reshape back to (O, I, kh, kw), and that
+        # relayout runs at ~4.5 GB/s (measured: it put the whole sweep at
+        # 25 ms; natural-layout masks bring it to ~1 ms)
+        rbits = jnp.stack([jax.random.bits(subkeys[i], shape, jnp.uint32)
+                           for i in idxs])
+        mask = th.smallest_bits_mask_sliced(
+            rbits, tuple(counts[i] for i in idxs))
+        for j, i in enumerate(idxs):
+            w = tensors[i]
+            out[i] = jnp.where(mask[j], jnp.zeros((), w.dtype), w)
+            zeros[i] = th.exact_zero_count(out[i])
+    return tuple(out), tuple(zeros)
+
+
 def random_pruning(params: dict, selective_stats: PruneStats,
                    seed: int = 0):
-    """Apply random pruning at the DWT-matched per-layer counts."""
+    """Apply random pruning at the DWT-matched per-layer counts, gang-traced
+    so a 20-layer checkpoint is one compile per (shapes, counts) instead of
+    one per layer."""
     counts = selective_stats.per_layer_counts()
-    key = jax.random.PRNGKey(seed)
     stats = PruneStats(
         phase="random", wavelet=selective_stats.wavelet,
         level=selective_stats.level, threshold=selective_stats.threshold,
     )
+    names = list(counts.keys())
+    pkeys = [resolve_param_key(params, n) for n in names]
+    tensors = tuple(jnp.asarray(params[k]) for k in pkeys)
+    pruned, zeros = _gang_random(jax.random.PRNGKey(seed), tensors,
+                                 tuple(int(counts[n]) for n in names))
     new_params = dict(params)
-    for name, count in counts.items():
-        pkey = resolve_param_key(params, name)
-        w = jnp.asarray(params[pkey])
-        key, sub = jax.random.split(key)
-        pruned = random_prune_tensor(sub, w, int(count))
+    for name, pkey, w, p, z in zip(names, pkeys, tensors, pruned, zeros):
         total = int(w.size)
-        nz = total - int(th.exact_zero_count(pruned))
-        new_params[pkey] = pruned
+        nz = total - int(z)
+        new_params[pkey] = p
         stats.layers.append(LayerPruneStats(
             layer_name=name, original_param_count=total,
             non_zero_params=nz, pruned_count=total - nz,
