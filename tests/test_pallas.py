@@ -114,9 +114,12 @@ def test_pallas_count_below_and_select(rng):
     leaves = [
         jnp.asarray(rng.standard_normal((700,)).astype(np.float32)),
         jnp.asarray(rng.standard_normal((64, 33)).astype(np.float32)),
+        # wide 2-D leaf with odd lanes/rows: exercises the natural-view
+        # sentinel-padding path (no flat relayout)
+        jnp.asarray(rng.standard_normal((3, 13, 261)).astype(np.float32)),
     ]
     bits = [q._bits_of_abs(l) for l in leaves]
-    allbits = np.concatenate([np.asarray(b) for b in bits])
+    allbits = np.concatenate([np.asarray(b).ravel() for b in bits])
     cands = jnp.asarray(
         np.quantile(allbits.astype(np.float64), [0.1, 0.5, 0.9]).astype(
             np.uint32))

@@ -344,6 +344,44 @@ def packed_slices(h: int, w: int, wavelet: str, level: int,
     return slices
 
 
+def subband_shapes(h: int, w: int, wavelet, level: int,
+                   mode: str = "periodization"):
+    """Per-level detail subband shapes: entry i is the (h, w) of the detail
+    bands after i+1 analysis steps (finest first, coarsest last)."""
+    wv = _as_wavelet(wavelet)
+    F = wv.dec_len
+
+    def down(n):
+        return -(-n // 2) if mode == "periodization" else (n + F - 1) // 2
+
+    out = []
+    hh, ww = h, w
+    for _ in range(level):
+        hh, ww = down(hh), down(ww)
+        out.append((hh, ww))
+    return out
+
+
+def mosaic_pad_count(h: int, w: int, wavelet, level: int,
+                     mode: str = "periodization") -> int:
+    """Zero elements ``coeffs_to_array`` padding adds per 2-D slice when
+    subband blocks don't tile the mosaic (pywt semantics).  The reference's
+    global percentile runs over the PADDED mosaic
+    (/root/reference/ResNet/dwt_pruning.py:67-73), so kernel paths that
+    keep coefficients as subbands must add this count to the percentile
+    rank to stay bit-compatible.  Static shape recursion — no data."""
+    detail = subband_shapes(h, w, wavelet, level, mode)
+    if not detail:
+        return 0
+    ah, aw = detail[-1]
+    coeff = ah * aw  # approximation band
+    for dh, dw in reversed(detail):  # coarse -> fine packing order
+        coeff += 3 * dh * dw
+        ah += dh
+        aw += dw
+    return ah * aw - coeff
+
+
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "mode", "h", "w"))
 def waverec2_packed(arr, wavelet: str, level: int, h: int, w: int,
                     mode: str = "periodization"):

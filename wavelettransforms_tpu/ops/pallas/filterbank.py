@@ -751,7 +751,7 @@ def _row_pass_valid_mxu(xe, T, F: int, out_cols: int):
 
 def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
                          *, tmo: int, lr: int, wp: int, F: int,
-                         lo_rev, hi_rev, tref):
+                         lo_rev, hi_rev, tref, sub: int = 8):
     """Valid-mode fused 2-D analysis over the pre-extended input: one
     contiguous double-buffered band DMA per step, no boundary cases."""
     b = pl.program_id(0)
@@ -765,7 +765,7 @@ def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
         r0 = jax.lax.rem(step, jnp.int32(nb)) * (2 * tmo)
         bb = step // nb
         return pltpu.make_async_copy(
-            xe_hbm.at[bb, pl.ds(pl.multiple_of(r0, 8), lr), :],
+            xe_hbm.at[bb, pl.ds(pl.multiple_of(r0, sub), lr), :],
             band.at[slot], sem.at[slot])
 
     @pl.when(n == 0)
@@ -815,9 +815,12 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
                       mode=_PAD_MODE[mode])
     xe = ext[:, 1:, 1:]
 
-    tmo = min(tmo, ((hp_out + 7) // 8) * 8)
+    sub = _sublane(x.dtype)  # bf16 needs (16, 128) tile alignment
+    tmo = min(tmo, -(-hp_out // sub) * sub)
+    if tmo % sub:
+        tmo = -(-tmo // sub) * sub
     nb = -(-hp_out // tmo)
-    lr = ((2 * tmo + F - 2 + 7) // 8) * 8
+    lr = -(-(2 * tmo + F - 2) // sub) * sub
     rows_needed = 2 * tmo * (nb - 1) + lr
     wp_pad = -(-wp_out // _AOUT) * _AOUT
     # lane width of the DMA'd band must be 128-aligned
@@ -836,7 +839,7 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
         _analysis_kernel_ext(
             xe_hbm, ll.at[0], hl.at[0], lh.at[0], hh.at[0], band, sem,
             tmo=tmo, lr=lr, wp=wp_pad, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-            tref=tref)
+            tref=tref, sub=sub)
 
     ll, hl, lh, hh = pl.pallas_call(
         wrapped,
@@ -912,7 +915,7 @@ def _synthesis2d_kernel_ext(ll_hbm, hl_hbm, lh_hbm, hh_hbm, sref, out_ref,
                             b_ll, b_hl, b_lh, b_hh, sem, *,
                             tno: int, krows: int, wv: int, wout: int, F: int,
                             lo_rev, hi_rev, thr_ref=None,
-                            thr_ll: bool = False):
+                            thr_ll: bool = False, sub: int = 8):
     """Fused valid-mode 2-D synthesis: one contiguous coefficient band DMA
     per subband per step (double-buffered), W-axis banded-matmul synthesis,
     then row-axis polyphase."""
@@ -930,7 +933,7 @@ def _synthesis2d_kernel_ext(ll_hbm, hl_hbm, lh_hbm, hh_hbm, sref, out_ref,
         for s, (hbm, buf) in enumerate(((ll_hbm, b_ll), (hl_hbm, b_hl),
                                         (lh_hbm, b_lh), (hh_hbm, b_hh))):
             cps.append(pltpu.make_async_copy(
-                hbm.at[bb, pl.ds(pl.multiple_of(k0, 8), krows), :],
+                hbm.at[bb, pl.ds(pl.multiple_of(k0, sub), krows), :],
                 buf.at[slot], sem.at[slot, s]))
         return cps
 
@@ -986,12 +989,14 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
     lo_rev = tuple(float(v) for v in w.rec_lo[::-1])
     hi_rev = tuple(float(v) for v in w.rec_hi[::-1])
 
-    tno = min(tno, ((h_out + 15) // 16) * 16)
-    if tno % 2:
-        tno += 1
+    sub = _sublane(ll.dtype)  # bf16 needs (16, 128) tile alignment
+    # k0 = step * (tno // 2) must stay sub-aligned -> tno multiple of 2*sub
+    tno = min(tno, -(-h_out // (2 * sub)) * (2 * sub))
+    if tno % (2 * sub):
+        tno = -(-tno // (2 * sub)) * (2 * sub)
     nb = -(-h_out // tno)
     khalo = (F - 1) // 2
-    krows = ((tno // 2 + khalo + 7) // 8) * 8
+    krows = -(-(tno // 2 + khalo) // sub) * sub
     rows_needed = (nb - 1) * (tno // 2) + krows
     wout_pad = -(-w_out // _MXU_OUT) * _MXU_OUT
     wv = 64 + (F - 1) // 2
@@ -1027,7 +1032,7 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
             b_ll, b_hl, b_lh, b_hh, sem,
             tno=tno, krows=krows, wv=wv, wout=wout_pad, F=F,
             lo_rev=lo_rev, hi_rev=hi_rev, thr_ref=tref,
-            thr_ll=threshold_ll)
+            thr_ll=threshold_ll, sub=sub)
 
     out = pl.pallas_call(
         wrapped,

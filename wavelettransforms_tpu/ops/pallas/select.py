@@ -120,8 +120,11 @@ def _count_kernel(cand_ref, bits_hbm, out_ref, band, acc, sem, *, nblk: int,
 
 @functools.partial(jax.jit, static_argnames=("ncand", "interpret"))
 def _count_below_2d(bits2d, cands, ncand: int, interpret: bool = False):
-    rows_total = bits2d.shape[0]
-    rows = min(_BLK // _LANES, rows_total)  # single-block arrays shrink
+    """Count kernel over any (R, C) uint32 view with C % 128 == 0 and
+    R % 8 == 0 — block height adapts so each block stays ~2 MB."""
+    rows_total, C = bits2d.shape
+    rows = max((_BLK // C) // 8 * 8, 8)
+    rows = min(rows, rows_total)  # single-block arrays shrink
     nblk = -(-rows_total // rows)
     tail_rows = rows_total - (nblk - 1) * rows
     kernel = functools.partial(_count_kernel, nblk=nblk, ncand=ncand,
@@ -136,7 +139,7 @@ def _count_below_2d(bits2d, cands, ncand: int, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((ncand,), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, _LANES), jnp.uint32),
+            pltpu.VMEM((2, rows, C), jnp.uint32),
             pltpu.SMEM((ncand,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -155,14 +158,29 @@ def count_below(bits_leaves, cands, interpret: bool = False):
     ncand = int(cands.shape[0])
     total = jnp.zeros((ncand,), jnp.int32)
     for leaf in bits_leaves:
-        flat = leaf.ravel()
-        n = flat.size
-        pad = (-n) % _TILE
-        if pad:
-            # tile-unaligned remainder (interpret/test paths only — the TPU
-            # routing gate requires size % 1024 == 0): padded copy
-            flat = jnp.concatenate(
-                [flat, jnp.full((pad,), _PAD, jnp.uint32)])
-        bits2d = flat.reshape(-1, _LANES)
+        if leaf.ndim >= 2 and leaf.shape[-1] >= 256:
+            # wide 2-D leaf (e.g. odd-sized wavelet subbands): keep the
+            # NATURAL row-major view and sentinel-pad lanes to 128 / rows to
+            # 8 — one cheap elementwise copy at most, never the ~4.5 GB/s
+            # flat relayout of a ravel
+            W = leaf.shape[-1]
+            R = leaf.size // W
+            view = leaf.reshape((R, W))
+            Cp = -(-W // _LANES) * _LANES
+            Rp = -(-R // 8) * 8
+            if Cp != W or Rp != R:
+                view = jnp.pad(view, ((0, Rp - R), (0, Cp - W)),
+                               constant_values=_PAD)
+            bits2d = view
+        else:
+            flat = leaf.ravel()
+            n = flat.size
+            pad = (-n) % _TILE
+            if pad:
+                # tile-unaligned remainder (interpret/test paths only — the
+                # TPU routing gate requires size % 1024 == 0): padded copy
+                flat = jnp.concatenate(
+                    [flat, jnp.full((pad,), _PAD, jnp.uint32)])
+            bits2d = flat.reshape(-1, _LANES)
         total = total + _count_below_2d(bits2d, cands, ncand, interpret)
     return total

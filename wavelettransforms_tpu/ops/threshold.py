@@ -62,7 +62,7 @@ def percentile_threshold_value(x, percentile: float):
         elif _use_natural([x], None):
             t = _kth_smallest_bits_natural([x], ks)
         else:
-            t = _kth_smallest_bits(_bits_of_abs(x), ks)
+            t = _kth_smallest_bits(_bits_of_abs(x).ravel(), ks)
         v = _bits_to_float(t)
         a, b = v[0], v[1]
         if frac == 0.0:

@@ -23,9 +23,11 @@ from jax import lax
 
 
 def _bits_of_abs(x):
-    """uint32 bit pattern of |x| as float32 (order-preserving for >= 0)."""
+    """uint32 bit pattern of |x| as float32 (order-preserving for >= 0).
+    SHAPE-PRESERVING: the Pallas count kernel consumes wide 2-D leaves in
+    their natural layout; flat consumers ravel at the use site."""
     xa = jnp.abs(x.astype(jnp.float32))
-    return lax.bitcast_convert_type(xa, jnp.uint32).ravel()
+    return lax.bitcast_convert_type(xa, jnp.uint32)
 
 
 # Bits resolved per descent step.  Two fast forms, both measured on v5e:
@@ -247,7 +249,7 @@ def percentile_abs_grouped(arrs, percentiles, interpret: bool = False,
         elif _use_natural([a], None):
             t = _kth_smallest_bits_natural([a], ks, radix_bits=radix_bits)
         else:
-            t = _kth_smallest_bits(_bits_of_abs(a), ks)
+            t = _kth_smallest_bits(_bits_of_abs(a).ravel(), ks)
         thrs.append(_numpy_lerp(_bits_to_float(t), frac))
     return jnp.stack(thrs)
 
@@ -270,8 +272,13 @@ def _use_pallas_select(leaves, axis_name) -> bool:
     if not (1 << 18) <= n < (1 << 31):
         return False
     for l in leaves:
-        if l.ndim == 0 or l.shape[-1] % 128 or l.size % 1024:
+        if l.ndim == 0:
             return False
+        if l.shape[-1] % 128 == 0 and l.size % 1024 == 0:
+            continue  # exactly tile-aligned
+        if l.ndim >= 2 and l.shape[-1] >= 256:
+            continue  # count_below sentinel-pads the natural 2-D view
+        return False
     return _on_tpu()
 
 
@@ -301,7 +308,7 @@ def percentile_abs(x, percentile, axis_name=None, total_size: int | None = None)
     elif _use_natural([x], axis_name):
         t = _kth_smallest_bits_natural([x], ks)
     else:
-        t = _kth_smallest_bits(_bits_of_abs(x), ks, axis_name)
+        t = _kth_smallest_bits(_bits_of_abs(x).ravel(), ks, axis_name)
     return _numpy_lerp(_bits_to_float(t), frac)
 
 
@@ -325,15 +332,33 @@ def _numpy_lerp(v, frac: float):
 
 
 def percentile_abs_pytree(tree, percentile, axis_name=None,
-                          total_size: int | None = None):
+                          total_size: int | None = None,
+                          pad_zeros: int = 0):
     """Global percentile of |values| across every leaf of a pytree (the
-    sharded-subband representation of a wavedec2 result)."""
+    sharded-subband representation of a wavedec2 result).
+
+    ``pad_zeros`` (static): number of VIRTUAL zero elements participating in
+    the percentile without being materialized — the mosaic padding the
+    reference's coeffs_to_array adds at levels whose subbands don't tile
+    (see ops/dwt_jax.mosaic_pad_count).  Zeros sort first in |·| order, so a
+    padded rank j maps to the real order statistic j - pad_zeros (or to 0.0
+    when j lands inside the padding) — exact parity with a percentile over
+    the padded mosaic, at zero HBM cost."""
     leaves = jax.tree_util.tree_leaves(tree)
     n = total_size if total_size is not None else sum(l.size for l in leaves)
+    n += pad_zeros
     rank = _numpy_rank(percentile, n, leaves[0].dtype)
     k = int(rank)
     frac = rank - k
-    ks = (k, min(k + 1, n - 1))
+    j2 = min(k + 1, n - 1)
+    if pad_zeros:
+        ka, kb = k - pad_zeros, j2 - pad_zeros
+        if kb < 0 or (ka < 0 and frac == 0.0):
+            # both order statistics are padding zeros
+            return jnp.zeros((), jnp.float32)
+        ks = (max(ka, 0), max(kb, 0))
+    else:
+        ks = (k, j2)
     if _use_pallas_select(leaves, axis_name):
         # per-leaf counting: no concatenated copy of the coefficients
         t = _kth_smallest_bits_pallas([_bits_of_abs(l) for l in leaves], ks)
@@ -342,6 +367,10 @@ def percentile_abs_pytree(tree, percentile, axis_name=None,
     elif _use_natural(leaves, axis_name):
         t = _kth_smallest_bits_natural(leaves, ks)
     else:
-        bits = jnp.concatenate([_bits_of_abs(l) for l in leaves])
+        bits = jnp.concatenate([_bits_of_abs(l).ravel() for l in leaves])
         t = _kth_smallest_bits(bits, ks, axis_name)
-    return _numpy_lerp(_bits_to_float(t), frac)
+    v = _bits_to_float(t)
+    if pad_zeros and k - pad_zeros < 0:
+        # lower statistic sits inside the virtual padding: lerp from 0
+        v = v.at[0].set(0.0)
+    return _numpy_lerp(v, frac)

@@ -36,13 +36,19 @@ def clamped_level(shape, wavelet, level: int) -> int:
     return min(level, dwt_max_level(min(shape[-2:]), wavelet))
 
 
-def _pallas_eligible(shape, mode: str, axes, level: int = 1) -> bool:
-    """Route big spatial tensors through the fused Pallas kernels on TPU
-    (identical results: the subband multiset equals the packed mosaic when
-    no mosaic padding occurs — guaranteed by 256-multiples for
-    periodization, and by level==1 for the valid-size modes, whose deeper
-    levels pad the mosaic with zeros that the reference's percentile
-    counts)."""
+def _pallas_eligible(shape, mode: str, axes, level: int = 1,
+                     wavelet: str = "bior4.4") -> bool:
+    """Route big spatial tensors through the fused Pallas kernels on TPU.
+
+    Periodization: exact per-level kernel conditions — every level's input
+    must keep even dims, rows a multiple of the row tile (min(128, rows))
+    and lanes 128-aligned for the MXU row pass; these also guarantee zero
+    mosaic padding, so the subband multiset equals the packed mosaic.
+
+    Valid-size modes (symmetric/reflect/zero/periodic/constant): any level —
+    the kernels pad to tiles internally, and the reference's mosaic-padding
+    zeros are accounted analytically in the percentile rank
+    (quantile.percentile_abs_pytree(pad_zeros=...))."""
     if axes != (-2, -1):
         return False
     try:
@@ -55,10 +61,23 @@ def _pallas_eligible(shape, mode: str, axes, level: int = 1) -> bool:
     h, w = shape[-2], shape[-1]
     if h * w < (1 << 20):
         return False
+    F = get_wavelet(wavelet).dec_len
     if mode == "periodization":
-        return h % 256 == 0 and w % 256 == 0
-    return mode in ("symmetric", "reflect", "zero", "periodic",
-                    "constant") and level == 1
+        hl_, wl_ = h, w
+        for _ in range(level):
+            if hl_ % 2 or wl_ % 2:
+                return False
+            if hl_ % min(128, hl_) or wl_ % 128:
+                return False
+            hl_ //= 2
+            wl_ //= 2
+        return min(hl_, wl_) >= 4 * F  # synthesis halo head-room
+    if mode not in ("symmetric", "reflect", "zero", "periodic", "constant"):
+        return False
+    # valid sizes grow by (F-1)//2 per halving; keep the coarsest level
+    # comfortably larger than the filter so kernel halos stay in range
+    dh, dw = dj.subband_shapes(h, w, wavelet, level, mode)[-1]
+    return min(dh, dw) >= 4 * F
 
 
 def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile,
@@ -72,8 +91,12 @@ def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile,
     x = w.reshape((-1,) + w.shape[-2:]).astype(coeff_dtype)
     coeffs = fb.wavedec2_pallas_mode(x, wavelet, level, mode)
     # exact numpy-parity percentile via radix selection (a full sort of a
-    # 16M-element array costs ~10x more than 32 bandwidth-bound count passes)
-    thr = percentile_abs_pytree(coeffs, float(percentile))
+    # 16M-element array costs ~10x more than 32 bandwidth-bound count
+    # passes); the reference percentile runs over the PADDED mosaic, so the
+    # padding zeros enter the rank virtually (never materialized)
+    pad = dj.mosaic_pad_count(w.shape[-2], w.shape[-1], wavelet, level,
+                              mode) * x.shape[0]
+    thr = percentile_abs_pytree(coeffs, float(percentile), pad_zeros=pad)
     # threshold is fused into the synthesis kernels' coefficient loads —
     # thresholded coefficients never round-trip through HBM
     rec = fb.waverec2_pallas_mode(coeffs, wavelet, mode, threshold=thr)
@@ -102,7 +125,7 @@ def dwt_prune_tensor(w, wavelet: str, level: int, percentile,
         return th.percentile_threshold(w, percentile)
     lvl = clamped_level([w.shape[axes[0]], w.shape[axes[1]]] if axes != (-2, -1)
                         else w.shape, wavelet, level)
-    if lvl > 0 and _pallas_eligible(w.shape, mode, axes, lvl):
+    if lvl > 0 and _pallas_eligible(w.shape, mode, axes, lvl, wavelet):
         return _dwt_prune_tensor_pallas(
             w, wavelet, lvl, percentile, mode,
             coeff_dtype=coeff_dtype or jnp.float32)
@@ -150,7 +173,16 @@ def dwt_prune_tensor_batched(w, wavelet: str, level: int, percentile,
     return rec.astype(w.dtype), thr
 
 
-def _use_grouped_gang(tensors, mode) -> bool:
+def _gang_pallas_routed(t, wavelet: str, level: int, mode: str) -> bool:
+    """Single source of truth for which tensors the gang sweep routes
+    through the fused Pallas kernels — uses the ACTUAL clamped per-tensor
+    level so routing and eligibility can never disagree."""
+    lvl_t = clamped_level(t.shape, wavelet, level) if t.ndim >= 2 else 0
+    return lvl_t > 0 and _pallas_eligible(t.shape, mode, (-2, -1), lvl_t,
+                                          wavelet)
+
+
+def _use_grouped_gang(tensors, wavelet: str, level: int, mode: str) -> bool:
     """Route the whole-checkpoint sweep through the batched natural-layout
     percentile descent: same-shape layers share one fused reduction per
     descent step (parallel/quantile.percentile_abs_batched)."""
@@ -162,7 +194,7 @@ def _use_grouped_gang(tensors, mode) -> bool:
     except Exception:
         return False
     eligible = [t for t in tensors
-                if not _pallas_eligible(t.shape, mode, (-2, -1), 1)
+                if not _gang_pallas_routed(t, wavelet, level, mode)
                 and t.dtype == jnp.float32]
     return len(eligible) >= 2
 
@@ -230,15 +262,11 @@ def _gang_encode(tensors: tuple, wavelet: str, level: int,
     out: list = [None] * n
     zeros: list = [None] * n
 
-    use_grouped = _use_grouped_gang(tensors, mode)
+    use_grouped = _use_grouped_gang(tensors, wavelet, level, mode)
     grouped_idxs = []
     for i, t in enumerate(tensors):
-        lvl_t = (clamped_level(t.shape, wavelet, level)
-                 if t.ndim >= 2 else 0)
         if (use_grouped
-                and not (lvl_t > 0
-                         and _pallas_eligible(t.shape, mode, (-2, -1),
-                                              lvl_t))
+                and not _gang_pallas_routed(t, wavelet, level, mode)
                 and t.dtype == jnp.float32):
             grouped_idxs.append(i)
         else:
