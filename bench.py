@@ -13,6 +13,13 @@ the ratio is measured against this framework's own XLA-conv path on the same
 chip — i.e. the speedup the hand-written Pallas kernels deliver over the
 compiler baseline for the same operation.
 
+Process model: ONE SUBPROCESS PER SECTION.  On this host a long chained
+launch sequence can wedge the TPU client (every subsequent launch in the
+same process throws INVALID_ARGUMENT, measured after the L4 full-prune
+chain); a fresh client recovers cleanly, and the persistent compile cache
+(.jax_cache) makes respawns cheap.  The parent assembles the JSON line from
+whichever sections succeeded, so one bad section can never kill the bench.
+
 Timing method: chained data-dependent dispatch + host read with two-length
 slope (this host's tunnel makes block_until_ready unreliable; see
 utils/profiling.chain_bench).
@@ -20,20 +27,25 @@ utils/profiling.chain_bench).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+SECTIONS = ("core", "gang", "prune", "prune_sym", "modes")
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def retry(fn, attempts: int = 3, settle_s: float = 2.0):
-    """This host's TPU tunnel can throw a transient INVALID_ARGUMENT when a
-    new program compiles while earlier chained launches are still draining
-    (see verify-skill notes).  Settle + retry makes the bench robust."""
+def retry(fn, attempts: int = 3, settle_s: float = 5.0):
+    """Transient INVALID_ARGUMENT can happen when a new program
+    remote-compiles while earlier chained launches drain; settle + retry.
+    (A WEDGED client — every launch failing — is handled by the
+    section-per-subprocess structure, not here.)"""
     for i in range(attempts):
         try:
             return fn()
@@ -41,55 +53,18 @@ def retry(fn, attempts: int = 3, settle_s: float = 2.0):
             if i == attempts - 1 or "INVALID_ARGUMENT" not in str(e):
                 raise
             log(f"transient TPU error (attempt {i + 1}), retrying: {e}")
-            time.sleep(settle_s)
+            time.sleep(settle_s * (i + 1))
 
 
-def main():
+def _setup_jax():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    from wavelettransforms_tpu.ops import dwt_jax as dj
-    from wavelettransforms_tpu.ops.pallas import filterbank as fb
-    from wavelettransforms_tpu.utils.profiling import chain_bench
+    return jax
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    log(f"backend: {backend} ({jax.devices()})")
 
-    # ---------------- filter-bank roundtrip, 4096^2 (config 4 shape) -------
-    N = 4096
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (1, N, N)).astype(np.float32))
-    nbytes = x.size * 4
-    wavelet = "bior4.4"
-
-    t0 = time.time()
-    if on_tpu:
-        # two separately-jitted (and separately compile-cached) programs,
-        # chained at the python level — keeps each Mosaic compile small.
-        roundtrip = lambda v: fb.idwt2_level_pallas(
-            *fb.dwt2_level_pallas(v, wavelet), wavelet)
-    else:
-        roundtrip = jax.jit(lambda v: dj.waverec2_packed(
-            dj.wavedec2_packed(v[0], wavelet, 1), wavelet, 1, N, N)[None])
-    spreads = []
-    t_pallas = retry(lambda: chain_bench(roundtrip, x, spread_out=spreads))
-    gbs = 2 * 2 * nbytes / t_pallas / 1e9
-    log(f"fused roundtrip {wavelet} L1 {N}^2: {t_pallas*1e3:.3f} ms "
-        f"-> {gbs:.1f} GB/s (spread {spreads[-1]*100:.1f}%, "
-        f"setup {time.time()-t0:.0f}s)")
-
-    # XLA-conv baseline for the same op
-    t0 = time.time()
-    xla_roundtrip = jax.jit(lambda v: dj.waverec2_packed(
-        dj.wavedec2_packed(v[0], wavelet, 1), wavelet, 1, N, N)[None])
-    t_xla = retry(lambda: chain_bench(xla_roundtrip, x))
-    log(f"XLA-conv roundtrip: {t_xla*1e3:.3f} ms -> "
-        f"{2*2*nbytes/t_xla/1e9:.1f} GB/s (setup {time.time()-t0:.0f}s)")
-
-    # ---------------- ResNet-18 checkpoint gang encode ---------------------
-    from wavelettransforms_tpu.prune.dwt_prune import _gang_encode
+def _resnet18_conv_stack():
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
     shapes = ([(64, 3, 7, 7)] + [(64, 64, 3, 3)] * 4
@@ -101,60 +76,111 @@ def main():
               + [(512, 512, 3, 3)] * 2)
     tensors = tuple(jnp.asarray(rng.standard_normal(s).astype(np.float32))
                     for s in shapes)
-    n_params = sum(int(np.prod(s)) for s in shapes)
-    log(f"ResNet-18 stack: {len(shapes)} conv layers, {n_params} params")
+    return shapes, tensors
 
-    def encode(ts):
-        out, _ = _gang_encode(ts, "bior4.4", 5, "periodization", 50.0)
-        return out
 
-    t0 = time.time()
-    t_encode = retry(lambda: chain_bench(jax.jit(encode), tensors))
-    log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
-        f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
+N = 4096
+WAVELET = "bior4.4"
 
-    # ---------------- gang-encoded baseline pruners ------------------------
-    from wavelettransforms_tpu.prune.min_weight import _gang_min
-    from wavelettransforms_tpu.prune.random_prune import _gang_random
 
-    counts = tuple(int(np.prod(s) * 0.47808) for s in shapes)  # t=0.5 budget
+def _big_input():
+    import jax.numpy as jnp
 
-    t0 = time.time()
-    t_min = retry(lambda: chain_bench(
-        jax.jit(lambda ts: _gang_min(ts, counts)[0]), tensors))
-    log(f"gang min-weight (20 layers, 47.8% budget): {t_min*1e3:.2f} ms "
-        f"(setup {time.time()-t0:.0f}s)")
+    return jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, N, N)).astype(np.float32))
 
-    import jax.random as jrandom
 
-    rkey = jrandom.PRNGKey(0)
-    t0 = time.time()
-    t_rand = retry(lambda: chain_bench(
-        jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors))
-    log(f"gang random (20 layers, matched counts): {t_rand*1e3:.2f} ms "
-        f"(setup {time.time()-t0:.0f}s)")
+def run_section(section: str) -> dict:
+    """Run one bench section in THIS process; return its detail dict."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
-    detail = {
-        "backend": backend,
-        "min_weight_gang_ms": round(t_min * 1e3, 2),
-        "random_gang_ms": round(t_rand * 1e3, 2),
-        "roundtrip_ms_4096x4096_bior44": round(t_pallas * 1e3, 3),
-        "xla_conv_roundtrip_ms": round(t_xla * 1e3, 3),
-        "resnet18_checkpoint_encode_ms": round(t_encode * 1e3, 2),
-        "resnet18_prunable_params": n_params,
-        "roundtrip_spread_pct": round(spreads[0] * 100, 1),
-    }
+    from wavelettransforms_tpu.ops import dwt_jax as dj
+    from wavelettransforms_tpu.utils.profiling import chain_bench
 
-    if on_tpu:
-        # full prune pipeline: encode -> exact global percentile ->
-        # fused-threshold decode (BASELINE config 4 shape)
+    on_tpu = jax.default_backend() == "tpu"
+    detail: dict = {}
+
+    if section == "core":
+        detail["backend"] = jax.default_backend()
+        x = _big_input()
+        nbytes = x.size * 4
+        if on_tpu:
+            from wavelettransforms_tpu.ops.pallas import filterbank as fb
+
+            # two separately-jitted (separately compile-cached) programs,
+            # chained at the python level — keeps each Mosaic compile small.
+            roundtrip = lambda v: fb.idwt2_level_pallas(
+                *fb.dwt2_level_pallas(v, WAVELET), WAVELET)
+        else:
+            roundtrip = jax.jit(lambda v: dj.waverec2_packed(
+                dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
+        spreads = []
+        t0 = time.time()
+        t_pallas = retry(lambda: chain_bench(roundtrip, x,
+                                             spread_out=spreads))
+        gbs = 2 * 2 * nbytes / t_pallas / 1e9
+        log(f"fused roundtrip {WAVELET} L1 {N}^2: {t_pallas*1e3:.3f} ms "
+            f"-> {gbs:.1f} GB/s (spread {spreads[-1]*100:.1f}%, "
+            f"setup {time.time()-t0:.0f}s)")
+        detail["roundtrip_ms_4096x4096_bior44"] = round(t_pallas * 1e3, 3)
+        detail["roundtrip_gbs"] = round(gbs, 1)
+        detail["roundtrip_spread_pct"] = round(spreads[-1] * 100, 1)
+
+        xla_roundtrip = jax.jit(lambda v: dj.waverec2_packed(
+            dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
+        t0 = time.time()
+        t_xla = retry(lambda: chain_bench(xla_roundtrip, x))
+        log(f"XLA-conv roundtrip: {t_xla*1e3:.3f} ms -> "
+            f"{2*2*nbytes/t_xla/1e9:.1f} GB/s (setup {time.time()-t0:.0f}s)")
+        detail["xla_conv_roundtrip_ms"] = round(t_xla * 1e3, 3)
+        return detail
+
+    if section == "gang":
+        from wavelettransforms_tpu.prune.dwt_prune import _gang_encode
+        from wavelettransforms_tpu.prune.min_weight import _gang_min
+        from wavelettransforms_tpu.prune.random_prune import _gang_random
+
+        shapes, tensors = _resnet18_conv_stack()
+        n_params = sum(int(np.prod(s)) for s in shapes)
+        detail["resnet18_prunable_params"] = n_params
+        log(f"ResNet-18 stack: {len(shapes)} conv layers, {n_params} params")
+
+        def encode(ts):
+            out, _ = _gang_encode(ts, WAVELET, 5, "periodization", 50.0)
+            return out
+
+        t0 = time.time()
+        t_encode = retry(lambda: chain_bench(jax.jit(encode), tensors))
+        log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
+            f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
+        detail["resnet18_checkpoint_encode_ms"] = round(t_encode * 1e3, 2)
+
+        counts = tuple(int(np.prod(s) * 0.47808) for s in shapes)  # t=0.5
+        t0 = time.time()
+        t_min = retry(lambda: chain_bench(
+            jax.jit(lambda ts: _gang_min(ts, counts)[0]), tensors))
+        log(f"gang min-weight (20 layers, 47.8% budget): {t_min*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["min_weight_gang_ms"] = round(t_min * 1e3, 2)
+
+        rkey = jax.random.PRNGKey(0)
+        t0 = time.time()
+        t_rand = retry(lambda: chain_bench(
+            jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors))
+        log(f"gang random (20 layers, matched counts): {t_rand*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["random_gang_ms"] = round(t_rand * 1e3, 2)
+        return detail
+
+    if section == "prune":
         from wavelettransforms_tpu.prune.dwt_prune import dwt_prune_tensor
 
-        x2 = x[0]
+        x2 = _big_input()[0]
 
         @jax.jit
         def prune_big(v):
-            out, _ = dwt_prune_tensor(v, wavelet, 4, 50.0)
+            out, _ = dwt_prune_tensor(v, WAVELET, 4, 50.0)
             return out
 
         t0 = time.time()
@@ -162,56 +188,104 @@ def main():
         log(f"4096^2 L4 full prune: {t_prune*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
+        return detail
 
+    if section == "prune_sym":
         # multi-level symmetric full prune (valid-mode kernels + virtual
         # mosaic-padding percentile) — parity target: the periodization
-        # full-prune number above
+        # full-prune number
+        from wavelettransforms_tpu.prune.dwt_prune import dwt_prune_tensor
+
+        x2 = _big_input()[0]
+
         @jax.jit
         def prune_big_sym(v):
-            out, _ = dwt_prune_tensor(v, wavelet, 4, 50.0, mode="symmetric")
+            out, _ = dwt_prune_tensor(v, WAVELET, 4, 50.0, mode="symmetric")
             return out
 
         t0 = time.time()
-        t_prune_sym = retry(lambda: chain_bench(prune_big_sym, x2))
-        log(f"4096^2 L4 symmetric full prune: {t_prune_sym*1e3:.2f} ms "
+        t_sym = retry(lambda: chain_bench(prune_big_sym, x2))
+        log(f"4096^2 L4 symmetric full prune: {t_sym*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["symmetric_full_prune_ms_4096x4096_L4"] = round(
-            t_prune_sym * 1e3, 2)
+        detail["symmetric_full_prune_ms_4096x4096_L4"] = round(t_sym * 1e3, 2)
+        return detail
 
-        # symmetric boundary mode (valid-mode kernels)
+    if section == "modes":
+        from wavelettransforms_tpu.ops.pallas import filterbank as fb
+
+        x = _big_input()
+
         def rt_sym(v):
-            s = fb.dwt2_level_pallas_mode(v, wavelet, "symmetric")
+            s = fb.dwt2_level_pallas_mode(v, WAVELET, "symmetric")
             return fb.idwt2_level_pallas_mode(
-                *s, wavelet, "symmetric")[:, :N, :N]
+                *s, WAVELET, "symmetric")[:, :N, :N]
 
         t0 = time.time()
         t_sym = retry(lambda: chain_bench(rt_sym, x))
-        log(f"symmetric-mode roundtrip: {t_sym*1e3:.2f} ms "
+        log(f"symmetric-mode roundtrip: {t_sym*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["symmetric_roundtrip_ms"] = round(t_sym * 1e3, 3)
 
-        # bfloat16 coefficient path
         x16 = x.astype(jnp.bfloat16)
 
         def rt16(v):
             return fb.idwt2_level_pallas(
-                *fb.dwt2_level_pallas(v, wavelet), wavelet)
+                *fb.dwt2_level_pallas(v, WAVELET), WAVELET)
 
         t0 = time.time()
         t_bf16 = retry(lambda: chain_bench(rt16, x16))
-        log(f"bf16 roundtrip: {t_bf16*1e3:.2f} ms "
+        log(f"bf16 roundtrip: {t_bf16*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["bf16_roundtrip_ms"] = round(t_bf16 * 1e3, 3)
+        return detail
 
+    raise SystemExit(f"unknown section {section!r}")
+
+
+def main():
+    # Parent: spawn one subprocess per section, assemble the JSON line.
+    on_tpu_sections = SECTIONS
+    detail: dict = {}
+    env = dict(os.environ)
+    for section in on_tpu_sections:
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--section", section],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=560, env=env)
+        except subprocess.TimeoutExpired as e:
+            log(f"[{section}] TIMED OUT after {time.time()-t0:.0f}s; "
+                f"stderr tail: {(e.stderr or '')[-400:]}")
+            continue
+        for line in (proc.stderr or "").splitlines():
+            log(f"[{section}] {line}")
+        if proc.returncode != 0:
+            log(f"[{section}] FAILED (exit {proc.returncode})")
+            continue
+        try:
+            detail.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        except Exception as e:
+            log(f"[{section}] unparseable output: {e}")
+
+    gbs = detail.pop("roundtrip_gbs", None)
+    t_pallas = detail.get("roundtrip_ms_4096x4096_bior44")
+    t_xla = detail.get("xla_conv_roundtrip_ms")
+    # CPU fallback under a TPU-less driver still yields a valid JSON line.
     result = {
         "metric": "dwt_idwt_fused_roundtrip_throughput",
-        "value": round(gbs, 1),
+        "value": gbs if gbs is not None else 0.0,
         "unit": "GB/s/chip",
-        "vs_baseline": round(t_xla / t_pallas, 2),
+        "vs_baseline": (round(t_xla / t_pallas, 2)
+                        if t_pallas and t_xla else None),
         "detail": detail,
     }
     print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        out = run_section(sys.argv[2])
+        print(json.dumps(out), flush=True)
+    else:
+        main()

@@ -87,6 +87,48 @@ def test_prune_cli_end_to_end(tmp_path):
         assert r.mean_batch_ms > 0 and r.model_size_nnz_mb > 0
 
 
+def test_sweep_cli_resume_and_aggregates(tmp_path):
+    """Sweep driver: resumable grid + the reference's aggregate deliverables
+    (PreliminaryResults CSV schema, accuracy-vs-threshold figure)."""
+    import json
+
+    from wavelettransforms_tpu.cli import sweep as sweep_cli
+
+    og = create_random_checkpoint(str(tmp_path / "OGModel"), TINY, seed=0)
+    out_dir = str(tmp_path / "SavedModels")
+    argv = ["prog", f"--model_path={og}", "--wavelet=haar", "--level=2",
+            "--thresholds=0.0,0.5", "--synthetic_eval=8",
+            f"--csv_path={tmp_path / 'experiment_log.csv'}",
+            f"--output_dir={out_dir}"]
+    sweep_cli.FLAGS(argv)
+    sweep_cli.main([])
+
+    progress_path = os.path.join(out_dir, "sweep_progress.json")
+    with open(progress_path) as f:
+        done1 = json.load(f)
+    assert len(done1) == 2
+
+    prelim = os.path.join(out_dir, "PreliminaryResults",
+                          "Haar_Wavelet_Pruning_Metrics_Data_level_2.csv")
+    with open(prelim) as f:
+        rows = list(csv.DictReader(f))
+    # 2 thresholds x 3 methods, reference schema + ordering (desc threshold)
+    assert len(rows) == 6
+    assert list(rows[0]) == ["Threshold", "Model", "Accuracy", "F1 Score",
+                             "Recall", "Average Loss", "Sparsity"]
+    assert [r["Threshold"] for r in rows] == ["0.5"] * 3 + ["0.0"] * 3
+    assert [r["Model"] for r in rows[:3]] == [
+        "min_pruned", "random_pruned", "selective_pruned"]
+
+    plots = [p for p in os.listdir(out_dir) if p.endswith(".png")]
+    assert any("Accuracy vs. Threshold" in p for p in plots)
+
+    # resume: a second invocation skips every threshold (same guids kept)
+    sweep_cli.main([])
+    with open(progress_path) as f:
+        assert json.load(f) == done1
+
+
 def test_log_worker(tmp_path):
     path = str(tmp_path / "log.csv")
     w = LogWorker(path)

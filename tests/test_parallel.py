@@ -6,7 +6,7 @@ import pytest
 
 from wavelettransforms_tpu.ops import threshold as th
 from wavelettransforms_tpu.parallel.halo import (
-    coeff_tree_size, run_sharded_prune)
+    coeff_tree_size, run_sharded_prune, run_sharded_prune_2d)
 from wavelettransforms_tpu.parallel.mesh import make_mesh
 from wavelettransforms_tpu.parallel.quantile import percentile_abs
 from wavelettransforms_tpu.prune import dwt_prune_tensor
@@ -84,6 +84,48 @@ def test_sharded_lossless_roundtrip(mesh, rng):
     x = rng.standard_normal((1, 128, 128)).astype(np.float32)
     out = np.asarray(run_sharded_prune(jnp.asarray(x), "db6", 2, 0.0, mesh))
     np.testing.assert_allclose(out, x, atol=1e-5)
+
+
+@pytest.mark.parametrize("rows,cols", [(2, 4), (4, 2), (2, 2)])
+def test_2d_tiled_prune_matches_unsharded(rng, rows, cols):
+    """BASELINE config 4: BOTH spatial axes tiled over a 2-D mesh with
+    per-axis ppermute halo rings + two-axis psum percentile == unsharded."""
+    mesh2 = make_mesh({"row": rows, "col": cols},
+                      devices=jax.devices()[:rows * cols])
+    x = rng.standard_normal((256, 256)).astype(np.float32)
+    for wavelet, level in (("haar", 2), ("bior4.4", 3)):
+        tiled = np.asarray(run_sharded_prune_2d(
+            jnp.asarray(x), wavelet, level, 61.8, mesh2))
+        unsharded, _ = dwt_prune_tensor(jnp.asarray(x), wavelet, level, 61.8)
+        unsharded = np.asarray(unsharded)
+        np.testing.assert_allclose(tiled, unsharded, atol=1e-5)
+        assert np.array_equal(tiled == 0, unsharded == 0) or \
+            np.max(np.abs(tiled - unsharded)) < 1e-5
+
+
+def test_2d_tiled_one_axis_none_matches_1d(mesh, rng):
+    """axis_names with a None entry degenerates to the 1-D sharded path."""
+    mesh2 = make_mesh({"row": 8}, devices=jax.devices()[:8])
+    x = rng.standard_normal((1, 128, 128)).astype(np.float32)
+    got = np.asarray(run_sharded_prune_2d(
+        jnp.asarray(x), "db2", 2, 50.0, mesh2, axis_names=("row", None)))
+    want = np.asarray(run_sharded_prune(jnp.asarray(x), "db2", 2, 50.0, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_2d_tiled_lossless_roundtrip(rng):
+    mesh2 = make_mesh({"row": 2, "col": 4}, devices=jax.devices()[:8])
+    x = rng.standard_normal((1, 128, 256)).astype(np.float32)
+    out = np.asarray(run_sharded_prune_2d(
+        jnp.asarray(x), "db6", 2, 0.0, mesh2))
+    np.testing.assert_allclose(out, x, atol=1e-5)
+
+
+def test_2d_tiled_rejects_odd_local_length():
+    mesh2 = make_mesh({"row": 2, "col": 4}, devices=jax.devices()[:8])
+    x = jnp.zeros((96, 72), jnp.float32)  # 72 % (4 * 2^2) != 0 on 'col'
+    with pytest.raises(ValueError, match="even local length"):
+        run_sharded_prune_2d(x, "haar", 2, 50.0, mesh2)
 
 
 def test_percentile_abs_batched_matches_numpy(rng):

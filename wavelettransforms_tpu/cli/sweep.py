@@ -3,8 +3,13 @@
 The reference ran its headline sweep over thresholds
 {0, 0.236, 0.382, 0.5, 0.618, 0.786, 1} (golden-ratio ladder,
 /root/reference/ResNet/main_pruning.py:60) for a fixed wavelet/level,
-evaluating each of the three pruned models afterwards.  This driver runs the
-whole grid in one process, reusing the compiled encode for every threshold.
+evaluating each of the three pruned models afterwards, and published the
+aggregate as a PreliminaryResults CSV (threshold x method x metrics,
+/root/reference/ResNet/testing_suite/PreliminaryResults/
+Haar_Wavelet_Pruning_Metrics_Data_level_5.csv) plus an accuracy-vs-threshold
+figure.  This driver runs the whole grid in one process (reusing the compiled
+encode for every threshold), RESUMES an interrupted grid from
+``<output_dir>/sweep_progress.json``, and emits both aggregate deliverables.
 
     python -m wavelettransforms_tpu.cli.sweep --model_path=... \
         --wavelet=bior4.4 --level=5 --thresholds=0,0.236,0.5 \
@@ -12,10 +17,13 @@ whole grid in one process, reusing the compiled encode for every threshold.
 """
 from __future__ import annotations
 
+import csv
 import logging
+import os
 
 from absl import app, flags
 
+from ..utils.checkpointing import SweepProgress
 from ..wavelets import REFERENCE_WAVELETS
 from .prune import run_pruning_experiment
 
@@ -34,19 +42,82 @@ flags.DEFINE_integer("synthetic_eval", 0,
                      "samples after pruning")
 flags.DEFINE_string("data_path", None,
                     "Real validation data dir for post-sweep evaluation")
+flags.DEFINE_boolean("resume", True,
+                     "Skip thresholds recorded in sweep_progress.json")
+
+
+def run_dir_for(output_dir: str, wavelet: str, t: float, level: int,
+                guid: str) -> str:
+    return os.path.join(
+        output_dir, f"{wavelet}_threshold-{t}_level-{level}_guid-{guid[:4]}")
+
+
+def write_preliminary_results(path: str, rows: list[dict]) -> None:
+    """Aggregate sweep CSV with the reference's exact schema
+    (PreliminaryResults/Haar_Wavelet_Pruning_Metrics_Data_level_5.csv:
+    Threshold,Model,Accuracy,F1 Score,Recall,Average Loss,Sparsity), ordered
+    threshold-descending / model-name-ascending like the reference."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = sorted(rows, key=lambda r: (-r["Threshold"], r["Model"]))
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "Threshold", "Model", "Accuracy", "F1 Score", "Recall",
+            "Average Loss", "Sparsity"])
+        w.writeheader()
+        w.writerows(rows)
+
+
+def write_sweep_plot(path: str, rows: list[dict], wavelet: str,
+                     level: int) -> None:
+    """Accuracy-vs-threshold figure (the reference's headline artifact:
+    'Accuracy vs. Threshold for Selective Pruning (... Wavelet,
+    Decomposition Level ...).png')."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for model, style in (("selective_pruned", "o-"), ("min_pruned", "s--"),
+                         ("random_pruned", "^:")):
+        pts = sorted((r["Threshold"], r["Accuracy"]) for r in rows
+                     if r["Model"] == model)
+        if pts:
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], style,
+                    label=model)
+    ax.set_xlabel("Threshold")
+    ax.set_ylabel("Accuracy")
+    ax.set_title(f"Accuracy vs. Threshold for Selective Pruning "
+                 f"({wavelet} Wavelet, Decomposition Level {level})")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
 
 
 def main(argv):
     del argv
     logging.basicConfig(level=logging.INFO)
-    runs = []
+    os.makedirs(FLAGS.output_dir, exist_ok=True)
+    progress = SweepProgress(
+        os.path.join(FLAGS.output_dir, "sweep_progress.json"))
+    runs = []  # (threshold, guid)
     for t in FLAGS.thresholds:
         t = float(t)
+        key = f"{FLAGS.wavelet}_l{FLAGS.level}_t{t}"
+        if FLAGS.resume and progress.is_done(key):
+            guid = progress.done[str(key)]
+            logging.info("=== threshold %s: already done (guid %s), "
+                         "skipping ===", t, guid)
+            runs.append((t, guid))
+            continue
         logging.info("=== threshold %s ===", t)
         results, guid = run_pruning_experiment(
             FLAGS.model_path, FLAGS.wavelet, FLAGS.level, t,
             FLAGS.csv_path, FLAGS.output_dir)
-        runs.append((t, guid, results))
+        progress.mark(key, guid)
+        runs.append((t, guid))
         sel = results["selective"]
         logging.info("t=%s: selective fraction %.5f", t, sel.prune_fraction)
 
@@ -54,7 +125,6 @@ def main(argv):
         from ..data.imagenet import (ImageNetFlatDataset, SyntheticImageNet,
                                      batch_iterator)
         from ..eval.harness import evaluate_all
-        import os
 
         if FLAGS.data_path:
             dataset = ImageNetFlatDataset(FLAGS.data_path)
@@ -64,12 +134,31 @@ def main(argv):
         def batches():
             return batch_iterator(dataset, 64)
 
-        for t, guid, _ in runs:
-            run_dir = os.path.join(
-                FLAGS.output_dir,
-                f"{FLAGS.wavelet}_threshold-{t}_level-{FLAGS.level}"
-                f"_guid-{guid[:4]}")
-            evaluate_all(run_dir, batches)
+        agg_rows = []
+        for t, guid in runs:
+            run_dir = run_dir_for(FLAGS.output_dir, FLAGS.wavelet, t,
+                                  FLAGS.level, guid)
+            for r in evaluate_all(run_dir, batches):
+                agg_rows.append({
+                    "Threshold": t, "Model": r.model_name,
+                    "Accuracy": r.accuracy, "F1 Score": r.f1,
+                    "Recall": r.recall, "Average Loss": r.avg_loss,
+                    "Sparsity": r.sparsity,
+                })
+
+        wname = FLAGS.wavelet.capitalize()
+        prelim = os.path.join(
+            FLAGS.output_dir, "PreliminaryResults",
+            f"{wname}_Wavelet_Pruning_Metrics_Data_level_{FLAGS.level}.csv")
+        write_preliminary_results(prelim, agg_rows)
+        logging.info("Aggregated sweep CSV: %s", prelim)
+
+        plot = os.path.join(
+            FLAGS.output_dir,
+            f"Accuracy vs. Threshold for Selective Pruning ({wname} "
+            f"Wavelet, Decomposition Level {FLAGS.level}).png")
+        write_sweep_plot(plot, agg_rows, wname, FLAGS.level)
+        logging.info("Sweep figure: %s", plot)
     return 0
 
 

@@ -100,15 +100,24 @@ def _local_idwt(cA, cD, w: Wavelet, axis: int, axis_name: str | None):
     return jnp.moveaxis(y, -1, axis)
 
 
-def sharded_wavedec2(x_local, wavelet, level: int, axis_name: str,
-                     shard_axis: int = -2, axes=(-2, -1)):
-    """Multi-level 2-D periodization DWT where ``axes[shard_axis idx]`` is
-    sharded over ``axis_name``.  Call inside shard_map.  Returns the subband
-    pytree with every subband sharded along the same axis."""
+def _names_for(shard_axis: int, ndim: int, axes, axis_name: str):
+    """Map a single sharded array axis to the per-spatial-axis name pair."""
+    ax0, ax1 = axes
+    name0 = axis_name if (shard_axis % ndim) == (ax0 % ndim) else None
+    name1 = axis_name if (shard_axis % ndim) == (ax1 % ndim) else None
+    return name0, name1
+
+
+def sharded_wavedec2_tiled(x_local, wavelet, level: int, axis_names,
+                           axes=(-2, -1)):
+    """Multi-level 2-D periodization DWT on a 2-D TILED shard: ``axes[i]``
+    is sharded over mesh axis ``axis_names[i]`` (either entry may be None
+    for an unsharded spatial axis).  Call inside shard_map.  Returns the
+    subband pytree with every subband tiled the same way — each level's
+    row/column passes exchange their own ppermute halos per mesh axis."""
     w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
     ax0, ax1 = axes
-    name0 = axis_name if (shard_axis % x_local.ndim) == (ax0 % x_local.ndim) else None
-    name1 = axis_name if (shard_axis % x_local.ndim) == (ax1 % x_local.ndim) else None
+    name0, name1 = axis_names
     coeffs = []
     a = x_local
     for _ in range(level):
@@ -120,18 +129,33 @@ def sharded_wavedec2(x_local, wavelet, level: int, axis_name: str,
     return [a] + coeffs[::-1]
 
 
-def sharded_waverec2(coeffs, wavelet, axis_name: str, shard_axis: int = -2,
-                     axes=(-2, -1)):
+def sharded_waverec2_tiled(coeffs, wavelet, axis_names, axes=(-2, -1)):
     w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
     ax0, ax1 = axes
+    name0, name1 = axis_names
     a = coeffs[0]
-    name0 = axis_name if (shard_axis % a.ndim) == (ax0 % a.ndim) else None
-    name1 = axis_name if (shard_axis % a.ndim) == (ax1 % a.ndim) else None
     for (da, ad, dd) in coeffs[1:]:
         a0 = _local_idwt(a, ad, w, ax1, name1)
         d0 = _local_idwt(da, dd, w, ax1, name1)
         a = _local_idwt(a0, d0, w, ax0, name0)
     return a
+
+
+def sharded_wavedec2(x_local, wavelet, level: int, axis_name: str,
+                     shard_axis: int = -2, axes=(-2, -1)):
+    """Multi-level 2-D periodization DWT where ``axes[shard_axis idx]`` is
+    sharded over ``axis_name``.  Call inside shard_map.  Returns the subband
+    pytree with every subband sharded along the same axis."""
+    return sharded_wavedec2_tiled(
+        x_local, wavelet, level,
+        _names_for(shard_axis, x_local.ndim, axes, axis_name), axes)
+
+
+def sharded_waverec2(coeffs, wavelet, axis_name: str, shard_axis: int = -2,
+                     axes=(-2, -1)):
+    return sharded_waverec2_tiled(
+        coeffs, wavelet,
+        _names_for(shard_axis, coeffs[0].ndim, axes, axis_name), axes)
 
 
 def sharded_dwt_prune(x_local, wavelet, level: int, percentile: float,
@@ -142,13 +166,26 @@ def sharded_dwt_prune(x_local, wavelet, level: int, percentile: float,
     (globally distributed) tensor.  ``percentile`` and ``total_coeff_size``
     are static.  Returns the pruned local shard.
     """
-    coeffs = sharded_wavedec2(x_local, wavelet, level, axis_name, shard_axis)
-    thr = percentile_abs_pytree(coeffs, percentile, axis_name=axis_name,
-                                total_size=total_size)
+    names = _names_for(shard_axis, x_local.ndim, (-2, -1), axis_name)
+    return sharded_dwt_prune_tiled(x_local, wavelet, level, percentile,
+                                   names, total_size)
+
+
+def sharded_dwt_prune_tiled(x_local, wavelet, level: int, percentile: float,
+                            axis_names, total_size: int):
+    """2-D tiled encode->global-threshold->decode: both spatial axes sharded
+    (axis_names[i] shards spatial axis i; None = unsharded).  The global
+    percentile's radix-count psum reduces over BOTH mesh axes at once."""
+    coeffs = sharded_wavedec2_tiled(x_local, wavelet, level, axis_names)
+    psum_axes = tuple(n for n in axis_names if n is not None)
+    thr = percentile_abs_pytree(
+        coeffs, percentile,
+        axis_name=psum_axes if len(psum_axes) > 1 else psum_axes[0],
+        total_size=total_size)
     pruned = jax.tree_util.tree_map(
         lambda c: jnp.where(jnp.abs(c) < thr, jnp.zeros((), c.dtype), c),
         coeffs)
-    return sharded_waverec2(pruned, wavelet, axis_name, shard_axis)
+    return sharded_waverec2_tiled(pruned, wavelet, axis_names)
 
 
 def coeff_tree_size(h: int, w: int, level: int) -> int:
@@ -189,5 +226,42 @@ def run_sharded_prune(x, wavelet: str, level: int, percentile: float,
             sharded_dwt_prune, wavelet=wavelet, level=level,
             percentile=percentile, axis_name=axis_name,
             total_size=int(total), shard_axis=shard_axis),
+        mesh=mesh, in_specs=(pspec,), out_specs=pspec)
+    return jax.jit(fn)(jax.device_put(x, NamedSharding(mesh, pspec)))
+
+
+def run_sharded_prune_2d(x, wavelet: str, level: int, percentile: float,
+                         mesh: Mesh, axis_names=("row", "col")):
+    """Driver for the 2-D TILED prune (BASELINE config 4: a large weight
+    tensor tiled across a host with halo exchange): shard BOTH spatial axes
+    of ``x`` over the named 2-D mesh axes, run the halo-exchange prune with
+    a two-axis psum percentile, return the (tiled) global result.
+
+    Either entry of ``axis_names`` may be None to leave that spatial axis
+    unsharded (degenerates to the 1-D ``run_sharded_prune``)."""
+    from jax.experimental.shard_map import shard_map
+
+    ndim = x.ndim
+    spec = [None] * ndim
+    for sp_ax, name in zip((-2, -1), axis_names):
+        if name is None:
+            continue
+        n_dev = mesh.shape[name]
+        dim = x.shape[sp_ax]
+        if dim % (n_dev * (1 << level)):
+            raise ValueError(
+                f"spatial axis of length {dim} tiled over {n_dev} devices "
+                f"('{name}') must keep an even local length through {level} "
+                f"level(s): need {dim} % {n_dev * (1 << level)} == 0")
+        spec[sp_ax % ndim] = name
+    pspec = P(*spec)
+    total = coeff_tree_size(x.shape[-2], x.shape[-1], level) * int(
+        np.prod(x.shape[:-2], dtype=np.int64) or 1)
+
+    fn = shard_map(
+        functools.partial(
+            sharded_dwt_prune_tiled, wavelet=wavelet, level=level,
+            percentile=percentile, axis_names=tuple(axis_names),
+            total_size=int(total)),
         mesh=mesh, in_specs=(pspec,), out_specs=pspec)
     return jax.jit(fn)(jax.device_put(x, NamedSharding(mesh, pspec)))
