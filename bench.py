@@ -20,6 +20,17 @@ chain); a fresh client recovers cleanly, and the persistent compile cache
 (.jax_cache) makes respawns cheap.  The parent assembles the JSON line from
 whichever sections succeeded, so one bad section can never kill the bench.
 
+Survivability (round-2 lesson: two cold-compile section timeouts pushed the
+parent past the driver's own budget and the JSON was never printed):
+  * GLOBAL DEADLINE — total budget from $BENCH_BUDGET_S (default 1500 s);
+    each section gets the REMAINING budget (capped per-section), and
+    sections that no longer fit are skipped, not attempted.
+  * INCREMENTAL RESULTS — the cumulative JSON line is printed after EVERY
+    section (last line wins) and persisted to bench_partial.json, so a
+    driver kill at any moment still leaves a parseable artifact.
+  * Section order is headline-first: core -> gang -> prune -> prune_sym
+    -> modes.
+
 Timing method: chained data-dependent dispatch + host read with two-length
 slope (this host's tunnel makes block_until_ready unreliable; see
 utils/profiling.chain_bench).
@@ -35,6 +46,12 @@ import time
 import numpy as np
 
 SECTIONS = ("core", "gang", "prune", "prune_sym", "modes")
+# Floor below which a section is skipped rather than started (a cold Mosaic
+# compile alone can take minutes; starting a section with <90s left only
+# burns budget that later sections could have used... except later sections
+# are cheaper, so the floor stays small to let warm-cache runs through).
+MIN_SECTION_S = 90.0
+MAX_SECTION_S = 560.0
 
 
 def log(*args):
@@ -99,10 +116,9 @@ def run_section(section: str) -> dict:
     from wavelettransforms_tpu.utils.profiling import chain_bench
 
     on_tpu = jax.default_backend() == "tpu"
-    detail: dict = {}
+    detail: dict = {"backend": jax.default_backend()}
 
     if section == "core":
-        detail["backend"] = jax.default_backend()
         x = _big_input()
         nbytes = x.size * 4
         if on_tpu:
@@ -242,45 +258,90 @@ def run_section(section: str) -> dict:
     raise SystemExit(f"unknown section {section!r}")
 
 
+def _assemble(detail: dict, backend, failed: list, skipped: list) -> dict:
+    gbs = detail.get("roundtrip_gbs")
+    t_pallas = detail.get("roundtrip_ms_4096x4096_bior44")
+    t_xla = detail.get("xla_conv_roundtrip_ms")
+    d = {k: v for k, v in detail.items() if k != "roundtrip_gbs"}
+    if failed:
+        d["sections_failed"] = list(failed)
+    if skipped:
+        d["sections_skipped"] = list(skipped)
+    return {
+        "metric": "dwt_idwt_fused_roundtrip_throughput",
+        # null (not 0.0) when the core section produced no number — a
+        # downstream consumer must be able to tell "failed" from "slow".
+        "value": gbs if gbs is not None else None,
+        "unit": "GB/s/chip",
+        "vs_baseline": (round(t_xla / t_pallas, 2)
+                        if t_pallas and t_xla else None),
+        "backend": backend,
+        "detail": d,
+    }
+
+
 def main():
-    # Parent: spawn one subprocess per section, assemble the JSON line.
-    on_tpu_sections = SECTIONS
+    # Parent: spawn one subprocess per section under a global deadline,
+    # persist + print the cumulative JSON after every section.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = time.time() + budget
+    here = os.path.dirname(os.path.abspath(__file__))
+    partial_path = os.path.join(here, "bench_partial.json")
     detail: dict = {}
+    backend = None
+    failed: list = []
+    skipped: list = []
     env = dict(os.environ)
-    for section in on_tpu_sections:
+
+    def emit():
+        result = _assemble(detail, backend, failed, skipped)
+        tmp = partial_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+        os.replace(tmp, partial_path)
+        print(json.dumps(result), flush=True)
+        return result
+
+    emit()  # a parseable line exists from second zero
+    for section in SECTIONS:
+        remaining = deadline - time.time()
+        if remaining < MIN_SECTION_S:
+            log(f"[{section}] SKIPPED ({remaining:.0f}s left "
+                f"< {MIN_SECTION_S:.0f}s floor)")
+            skipped.append(section)
+            emit()
+            continue
+        timeout = min(remaining - 5.0, MAX_SECTION_S)
         t0 = time.time()
+        log(f"[{section}] starting (timeout {timeout:.0f}s, "
+            f"{remaining:.0f}s budget left)")
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=560, env=env)
+                cwd=here, capture_output=True, text=True, timeout=timeout,
+                env=env)
         except subprocess.TimeoutExpired as e:
             log(f"[{section}] TIMED OUT after {time.time()-t0:.0f}s; "
                 f"stderr tail: {(e.stderr or '')[-400:]}")
+            failed.append(section)
+            emit()
             continue
         for line in (proc.stderr or "").splitlines():
             log(f"[{section}] {line}")
         if proc.returncode != 0:
             log(f"[{section}] FAILED (exit {proc.returncode})")
+            failed.append(section)
+            emit()
             continue
         try:
-            detail.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            sec = json.loads(proc.stdout.strip().splitlines()[-1])
+            backend = sec.pop("backend", backend)
+            detail.update(sec)
         except Exception as e:
             log(f"[{section}] unparseable output: {e}")
-
-    gbs = detail.pop("roundtrip_gbs", None)
-    t_pallas = detail.get("roundtrip_ms_4096x4096_bior44")
-    t_xla = detail.get("xla_conv_roundtrip_ms")
-    # CPU fallback under a TPU-less driver still yields a valid JSON line.
-    result = {
-        "metric": "dwt_idwt_fused_roundtrip_throughput",
-        "value": gbs if gbs is not None else 0.0,
-        "unit": "GB/s/chip",
-        "vs_baseline": (round(t_xla / t_pallas, 2)
-                        if t_pallas and t_xla else None),
-        "detail": detail,
-    }
-    print(json.dumps(result), flush=True)
+            failed.append(section)
+        log(f"[{section}] done in {time.time()-t0:.0f}s")
+        emit()
 
 
 if __name__ == "__main__":

@@ -99,8 +99,21 @@ def test_2d_tiled_prune_matches_unsharded(rng, rows, cols):
         unsharded, _ = dwt_prune_tensor(jnp.asarray(x), wavelet, level, 61.8)
         unsharded = np.asarray(unsharded)
         np.testing.assert_allclose(tiled, unsharded, atol=1e-5)
-        assert np.array_equal(tiled == 0, unsharded == 0) or \
-            np.max(np.abs(tiled - unsharded)) < 1e-5
+        # both paths compute the bit-identical threshold -> identical masks
+        assert np.array_equal(tiled == 0, unsharded == 0)
+
+
+def test_batch_axis_sharded_prune_matches_unsharded(mesh, rng):
+    """shard_axis on a non-spatial (batch) axis: the DWT is fully local but
+    the percentile must still reduce globally over the mesh axis (regression:
+    this path crashed with IndexError after the 2-D-tiling refactor)."""
+    x = rng.standard_normal((8, 64, 64)).astype(np.float32)
+    sharded = np.asarray(run_sharded_prune(
+        jnp.asarray(x), "db2", 2, 61.8, mesh, shard_axis=0))
+    unsharded, _ = dwt_prune_tensor(jnp.asarray(x), "db2", 2, 61.8)
+    unsharded = np.asarray(unsharded)
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+    assert np.array_equal(sharded == 0, unsharded == 0)
 
 
 def test_2d_tiled_one_axis_none_matches_1d(mesh, rng):

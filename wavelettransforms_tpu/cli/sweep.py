@@ -24,19 +24,17 @@ import os
 from absl import app, flags
 
 from ..utils.checkpointing import SweepProgress
-from ..wavelets import REFERENCE_WAVELETS
 from .prune import run_pruning_experiment
 
 FLAGS = flags.FLAGS
 
-flags.DEFINE_string("model_path", None, "Pretrained checkpoint directory")
-flags.DEFINE_enum("wavelet", "bior4.4", REFERENCE_WAVELETS, "Wavelet")
-flags.DEFINE_integer("level", 5, "Decomposition level")
+# model_path / wavelet / level / csv_path / output_dir are shared with (and
+# registered by) ``cli.prune``, imported above — absl flags are process-global
+# and redefining them raises DuplicateFlagError.  Only sweep-specific knobs
+# are defined here.
 flags.DEFINE_list("thresholds", ["0.0", "0.236", "0.382", "0.5", "0.618",
                                  "0.786", "1.0"],
                   "Comma-separated threshold grid")
-flags.DEFINE_string("csv_path", "experiment_log.csv", "Experiment log CSV")
-flags.DEFINE_string("output_dir", "SavedModels", "Output directory")
 flags.DEFINE_integer("synthetic_eval", 0,
                      "If >0, evaluate each pruned model on N synthetic "
                      "samples after pruning")
@@ -103,9 +101,12 @@ def main(argv):
     progress = SweepProgress(
         os.path.join(FLAGS.output_dir, "sweep_progress.json"))
     runs = []  # (threshold, guid)
+    # The resume key carries a model identifier: two sweeps of different
+    # checkpoints sharing an output_dir must not skip each other's runs.
+    model_id = os.path.basename(os.path.normpath(FLAGS.model_path or ""))
     for t in FLAGS.thresholds:
         t = float(t)
-        key = f"{FLAGS.wavelet}_l{FLAGS.level}_t{t}"
+        key = f"{model_id}_{FLAGS.wavelet}_l{FLAGS.level}_t{t}"
         if FLAGS.resume and progress.is_done(key):
             guid = progress.done[str(key)]
             logging.info("=== threshold %s: already done (guid %s), "

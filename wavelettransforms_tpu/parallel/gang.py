@@ -9,6 +9,7 @@ needs (the threshold semantics stay exactly one-threshold-per-tensor).
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -19,13 +20,34 @@ from ..prune.api import LayerPruneStats, PruneStats, is_conv_kernel
 from ..prune.dwt_prune import dwt_prune_tensor
 from ..ops import threshold as th
 
+logger = logging.getLogger(__name__)
 
-def _channel_sharding(mesh: Mesh, shape, axis_name: str):
-    """Shard axis 0 (out channels) when it divides the mesh axis."""
+
+def _channel_sharding(mesh: Mesh, shape, axis_name: str,
+                      replicated_out: list | None = None):
+    """Shard axis 0 (out channels) when it divides the mesh axis; otherwise
+    fall back to replication (recorded in ``replicated_out`` so callers can
+    see how much of the checkpoint did not actually shard)."""
     n = mesh.shape[axis_name]
     if len(shape) >= 1 and shape[0] % n == 0:
         return NamedSharding(mesh, P(axis_name))
+    if replicated_out is not None:
+        replicated_out.append(tuple(shape))
     return NamedSharding(mesh, P())
+
+
+# Module-level jit: re-invoking gang_encode_sharded with the same statics
+# and tensor shapes/shardings hits the trace cache instead of re-tracing the
+# whole multi-layer program per call.
+@functools.partial(jax.jit,
+                   static_argnames=("wavelet", "level", "mode", "percentile"))
+def _gang_encode_jit(tensors, wavelet, level, mode, percentile):
+    outs, zeros = [], []
+    for t in tensors:
+        pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
+        outs.append(pruned)
+        zeros.append(th.exact_zero_count(pruned))
+    return tuple(outs), tuple(zeros)
 
 
 def gang_encode_sharded(params: dict, wavelet: str, level: int,
@@ -37,23 +59,25 @@ def gang_encode_sharded(params: dict, wavelet: str, level: int,
     mesh.  Identical semantics to prune.wavelet_pruning (same thresholds,
     same stats); returns (new_params sharded, PruneStats)."""
     names = [n for n, v in params.items() if layer_filter(n, v)]
+    replicated: list = []
     placed = tuple(
         jax.device_put(jnp.asarray(params[n]),
-                       _channel_sharding(mesh, params[n].shape, axis_name))
+                       _channel_sharding(mesh, params[n].shape, axis_name,
+                                         replicated))
         for n in names)
+    if replicated:
+        rep_params = sum(int(np.prod(s)) for s in replicated)
+        total_params = sum(int(np.prod(params[n].shape)) for n in names)
+        logger.warning(
+            "gang_encode_sharded: %d/%d tensors (%.1f%% of params) have an "
+            "out-channel dim not divisible by mesh axis %r (size %d) and "
+            "were REPLICATED instead of sharded",
+            len(replicated), len(names),
+            100.0 * rep_params / max(total_params, 1), axis_name,
+            mesh.shape[axis_name])
 
-    @functools.partial(jax.jit,
-                       static_argnames=("wavelet", "level", "mode",
-                                        "percentile"))
-    def encode(tensors, wavelet, level, mode, percentile):
-        outs, zeros = [], []
-        for t in tensors:
-            pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
-            outs.append(pruned)
-            zeros.append(th.exact_zero_count(pruned))
-        return tuple(outs), tuple(zeros)
-
-    pruned, zeros = encode(placed, wavelet, level, mode, float(percentile))
+    pruned, zeros = _gang_encode_jit(placed, wavelet, level, mode,
+                                     float(percentile))
     stats = PruneStats(phase="selective", wavelet=wavelet, level=level,
                        threshold=percentile / 100.0)
     new_params = dict(params)

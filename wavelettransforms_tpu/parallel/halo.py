@@ -167,21 +167,34 @@ def sharded_dwt_prune(x_local, wavelet, level: int, percentile: float,
     are static.  Returns the pruned local shard.
     """
     names = _names_for(shard_axis, x_local.ndim, (-2, -1), axis_name)
+    # shard_axis may point at a non-spatial (batch) axis: the transform is
+    # then fully local, but the reference's one-global-threshold semantics
+    # still require the percentile count to psum over the mesh axis.
+    extra = axis_name if all(n is None for n in names) else None
     return sharded_dwt_prune_tiled(x_local, wavelet, level, percentile,
-                                   names, total_size)
+                                   names, total_size, psum_extra=extra)
 
 
 def sharded_dwt_prune_tiled(x_local, wavelet, level: int, percentile: float,
-                            axis_names, total_size: int):
+                            axis_names, total_size: int,
+                            psum_extra: str | None = None):
     """2-D tiled encode->global-threshold->decode: both spatial axes sharded
     (axis_names[i] shards spatial axis i; None = unsharded).  The global
-    percentile's radix-count psum reduces over BOTH mesh axes at once."""
+    percentile's radix-count psum reduces over BOTH mesh axes at once.
+    ``psum_extra`` names a mesh axis that shards a NON-spatial (batch) axis —
+    it joins the percentile reduction but needs no halo exchange."""
     coeffs = sharded_wavedec2_tiled(x_local, wavelet, level, axis_names)
     psum_axes = tuple(n for n in axis_names if n is not None)
+    if psum_extra is not None:
+        psum_axes += (psum_extra,)
+    if not psum_axes:
+        psum_name = None  # fully local: no collective needed
+    elif len(psum_axes) == 1:
+        psum_name = psum_axes[0]
+    else:
+        psum_name = psum_axes
     thr = percentile_abs_pytree(
-        coeffs, percentile,
-        axis_name=psum_axes if len(psum_axes) > 1 else psum_axes[0],
-        total_size=total_size)
+        coeffs, percentile, axis_name=psum_name, total_size=total_size)
     pruned = jax.tree_util.tree_map(
         lambda c: jnp.where(jnp.abs(c) < thr, jnp.zeros((), c.dtype), c),
         coeffs)
@@ -210,11 +223,16 @@ def run_sharded_prune(x, wavelet: str, level: int, percentile: float,
     ndim = x.ndim
     n_dev = mesh.shape[axis_name]
     dim = x.shape[shard_axis % ndim]
-    if dim % (n_dev * (1 << level)):
+    spatial = (shard_axis % ndim) in ((-2) % ndim, (-1) % ndim)
+    if spatial and dim % (n_dev * (1 << level)):
         raise ValueError(
             f"axis of length {dim} sharded over {n_dev} devices must keep an "
             f"even local length through {level} level(s): need "
             f"{dim} % {n_dev * (1 << level)} == 0")
+    if not spatial and dim % n_dev:
+        raise ValueError(
+            f"batch axis of length {dim} must divide the device count "
+            f"{n_dev}")
     spec = [None] * ndim
     spec[shard_axis % ndim] = axis_name
     pspec = P(*spec)
