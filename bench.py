@@ -124,10 +124,11 @@ def run_section(section: str) -> dict:
         if on_tpu:
             from wavelettransforms_tpu.ops.pallas import filterbank as fb
 
-            # two separately-jitted (separately compile-cached) programs,
-            # chained at the python level — keeps each Mosaic compile small.
-            roundtrip = lambda v: fb.idwt2_level_pallas(
-                *fb.dwt2_level_pallas(v, WAVELET), WAVELET)
+            # ONE jitted program containing both kernels (coefficients still
+            # round-trip through HBM between the two pallas calls): one
+            # dispatch per step instead of two (~35us less launch overhead).
+            roundtrip = jax.jit(lambda v: fb.idwt2_level_pallas(
+                *fb.dwt2_level_pallas(v, WAVELET), WAVELET))
         else:
             roundtrip = jax.jit(lambda v: dj.waverec2_packed(
                 dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])

@@ -9,6 +9,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8").strip()
+# Interpreter-mode kernel tests assert exact-f32 parity vs the numpy oracle;
+# pin the MXU strategy to 6-pass HIGHEST there (the default bf16x3 fast path
+# gets its own error-bound test in a subprocess: test_pallas.py).
+os.environ.setdefault("WTT_MXU_PRECISION", "highest")
 
 import jax  # noqa: E402  (already imported by the host hook; harmless)
 

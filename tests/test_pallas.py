@@ -236,3 +236,41 @@ def test_mode_synthesis_fused_threshold(rng):
         th.hard_threshold(lh, thr), th.hard_threshold(hh, thr),
         "db2", "symmetric", interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_bf16x3_mxu_error_bound():
+    """The default MXU strategy (manual bf16x3 hi/lo-split dots,
+    filterbank._MXU_BF16X3) stays within ~1e-4 of the exact f32 engine.
+
+    Subprocess: the strategy is frozen at filterbank import and conftest pins
+    'highest' so the exact-parity tests above stay exact; this runs the
+    default fast path in a fresh interpreter.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platform_name', 'cpu')\n"
+        "from wavelettransforms_tpu.ops.pallas import filterbank as fb\n"
+        "from wavelettransforms_tpu.ops import dwt_jax as dj\n"
+        "assert fb._MXU_BF16X3, 'default strategy expected'\n"
+        "x = jnp.asarray(np.random.default_rng(0).standard_normal(\n"
+        "    (1, 256, 256)).astype(np.float32))\n"
+        "ll, hl, lh, hh = fb.dwt2_level_pallas(x, 'bior4.4', interpret=True)\n"
+        "cA, (cH, cV, cD) = dj.dwt2(x, 'bior4.4')\n"
+        "errs = [float(jnp.max(jnp.abs(a - b)))\n"
+        "        for a, b in ((ll, cA), (hl, cH), (lh, cV), (hh, cD))]\n"
+        "rec = fb.idwt2_level_pallas(ll, hl, lh, hh, 'bior4.4',\n"
+        "                            interpret=True)\n"
+        "err_rt = float(jnp.max(jnp.abs(rec - x)))\n"
+        "assert max(errs) < 2e-4 and err_rt < 2e-4, (errs, err_rt)\n"
+        "print('bf16x3 errs', max(errs), err_rt)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("WTT_MXU_PRECISION", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])

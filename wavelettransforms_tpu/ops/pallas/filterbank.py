@@ -14,8 +14,9 @@ Design (per grid step = one full-width row band of one batch element):
   * column (sublane) pass: deinterleave even/odd rows via a sublane
     reshape, then F shifted multiply-adds (contiguous slices, VPU);
   * row (lane) pass: banded block MXU matmuls — a 128-in/64-out-per-subband
-    fused analysis operator (f32 HIGHEST; native one-pass bf16 dots on the
-    bfloat16 path) — measured ~3.5x faster than in-VMEM transposes;
+    fused analysis operator (manual bf16x3 hi/lo-split dots by default, 6-pass
+    f32 HIGHEST via WTT_MXU_PRECISION=highest; native one-pass bf16 dots on
+    the bfloat16 path) — measured ~3.5x faster than in-VMEM transposes;
   * synthesis fuses an optional hard threshold into the coefficient loads
     (|c| < thr -> 0) so the prune pipeline never materializes thresholded
     coefficients in HBM;
@@ -31,6 +32,7 @@ symmetric-mode roundtrip 1.9 ms (10x XLA).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +44,26 @@ from ...wavelets import Wavelet, get_wavelet
 
 # Flip to True (e.g. in tests) to run kernels in interpreter mode off-TPU.
 INTERPRET = False
+
+# f32 MXU strategy for the banded filter-bank matmuls (read once at import;
+# WTT_MXU_PRECISION=bf16x3|highest).  HIGHEST = XLA's 6-pass bf16 emulation
+# (safest).  bf16x3 = manual hi/lo split, 3 native bf16 dots with f32
+# accumulation (xh@Th + xl@Th + xh@Tl, dropping the ~2^-16-relative xl@Tl
+# term) — half the MXU passes.  Mosaic does not lower Precision.HIGH, hence
+# the manual split.
+_MXU_BF16X3 = os.environ.get("WTT_MXU_PRECISION", "bf16x3") != "highest"
+
+
+def _split_bf16(x):
+    """hi/lo bf16 split of an f32 array: x ≈ hi + lo with hi = bf16(x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b):
+    """Native one-pass MXU dot with f32 accumulation."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _as_wavelet(wavelet) -> Wavelet:
@@ -127,19 +149,25 @@ def _row_pass_mxu(x, T, hp: int, bf16: bool = False):
     if bf16:
         x = x.astype(jnp.bfloat16)
         T = T.astype(jnp.bfloat16)
-        prec = jax.lax.Precision.DEFAULT
-    else:
-        prec = jax.lax.Precision.HIGHEST
     if hp:
         ext = jnp.concatenate([x[:, cols - hp:], x, x[:, :hp]], axis=1)
     else:
         ext = x
+    use_x3 = _MXU_BF16X3 and not bf16
+    if use_x3:
+        eh, el = _split_bf16(ext)
+        Th, Tl = _split_bf16(T)
     los, his = [], []
     for j0 in range(cols // _AIN):
-        blk = jax.lax.slice_in_dim(
-            ext, _AIN * j0, _AIN * j0 + _AIN + 2 * hp, axis=1)
-        both = jnp.dot(blk, T, precision=prec,
-                       preferred_element_type=jnp.float32)
+        sl = lambda a: jax.lax.slice_in_dim(
+            a, _AIN * j0, _AIN * j0 + _AIN + 2 * hp, axis=1)
+        if use_x3:
+            both = (_dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl))
+        elif bf16:
+            both = _dot(sl(ext), T)
+        else:
+            both = jnp.dot(sl(ext), T, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
         los.append(both[:, :_AOUT])
         his.append(both[:, _AOUT:])
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
@@ -444,19 +472,30 @@ def _wsynth_mxu(a, d, S, hpc: int, bf16: bool = False):
         a = a.astype(jnp.bfloat16)
         d = d.astype(jnp.bfloat16)
         S = S.astype(jnp.bfloat16)
-        prec = jax.lax.Precision.DEFAULT
-    else:
-        prec = jax.lax.Precision.HIGHEST
     a_ext = jnp.concatenate([a[:, wc - hpc:], a, a[:, :hpc]], axis=1)
     d_ext = jnp.concatenate([d[:, wc - hpc:], d, d[:, :hpc]], axis=1)
+    use_x3 = _MXU_BF16X3 and not bf16
+    if use_x3:
+        ah, al = _split_bf16(a_ext)
+        dh, dl = _split_bf16(d_ext)
+        Sh, Sl = _split_bf16(S)
     outs = []
     width = 64 + 2 * hpc
     for j0 in range(2 * wc // _MXU_OUT):
-        sa = jax.lax.slice_in_dim(a_ext, 64 * j0, 64 * j0 + width, axis=1)
-        sd = jax.lax.slice_in_dim(d_ext, 64 * j0, 64 * j0 + width, axis=1)
-        blk = jnp.concatenate([sa, sd], axis=1)
-        outs.append(jnp.dot(blk, S, precision=prec,
-                            preferred_element_type=jnp.float32))
+        def blk_of(aa, dd):
+            sa = jax.lax.slice_in_dim(aa, 64 * j0, 64 * j0 + width, axis=1)
+            sd = jax.lax.slice_in_dim(dd, 64 * j0, 64 * j0 + width, axis=1)
+            return jnp.concatenate([sa, sd], axis=1)
+        if use_x3:
+            bh = blk_of(ah, dh)
+            outs.append(_dot(bh, Sh) + _dot(blk_of(al, dl), Sh)
+                        + _dot(bh, Sl))
+        elif bf16:
+            outs.append(_dot(blk_of(a_ext, d_ext), S))
+        else:
+            outs.append(jnp.dot(blk_of(a_ext, d_ext), S,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -738,12 +777,18 @@ def _row_analysis_matrices_valid(w: Wavelet):
 def _row_pass_valid_mxu(xe, T, F: int, out_cols: int):
     """Lane-axis valid analysis as banded block matmuls; ``xe`` is already
     extension-padded (width >= 2*out_cols + F - 2)."""
+    if _MXU_BF16X3:
+        eh, el = _split_bf16(xe)
+        Th, Tl = _split_bf16(T)
     los, his = [], []
     for j0 in range(out_cols // _AOUT):
-        blk = jax.lax.slice_in_dim(
-            xe, _AIN * j0, _AIN * j0 + _AIN + F - 2, axis=1)
-        both = jnp.dot(blk, T, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+        sl = lambda a: jax.lax.slice_in_dim(
+            a, _AIN * j0, _AIN * j0 + _AIN + F - 2, axis=1)
+        if _MXU_BF16X3:
+            both = _dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl)
+        else:
+            both = jnp.dot(sl(xe), T, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
         los.append(both[:, :_AOUT])
         his.append(both[:, _AOUT:])
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
@@ -878,13 +923,24 @@ def _row_synthesis_matrices_valid(w: Wavelet, wv: int):
 def _wsynth_valid_mxu(a, d, S, wv: int, out_cols: int):
     """Lane-axis valid synthesis as banded block matmuls; coefficient
     arrays are tail-padded so every slice is in range."""
+    if _MXU_BF16X3:
+        ah, al = _split_bf16(a)
+        dh, dl = _split_bf16(d)
+        Sh, Sl = _split_bf16(S)
     outs = []
     for b0 in range(out_cols // _MXU_OUT):
-        sa = jax.lax.slice_in_dim(a, 64 * b0, 64 * b0 + wv, axis=1)
-        sd = jax.lax.slice_in_dim(d, 64 * b0, 64 * b0 + wv, axis=1)
-        blk = jnp.concatenate([sa, sd], axis=1)
-        outs.append(jnp.dot(blk, S, precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32))
+        def blk_of(aa, dd):
+            sa = jax.lax.slice_in_dim(aa, 64 * b0, 64 * b0 + wv, axis=1)
+            sd = jax.lax.slice_in_dim(dd, 64 * b0, 64 * b0 + wv, axis=1)
+            return jnp.concatenate([sa, sd], axis=1)
+        if _MXU_BF16X3:
+            bh = blk_of(ah, dh)
+            outs.append(_dot(bh, Sh) + _dot(blk_of(al, dl), Sh)
+                        + _dot(bh, Sl))
+        else:
+            outs.append(jnp.dot(blk_of(a, d), S,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=1)
 
 
