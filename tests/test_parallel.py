@@ -157,3 +157,62 @@ def test_percentile_abs_batched_matches_numpy(rng):
             assert got[g] == np.float32(want), (p, g)
             single = float(percentile_abs(stacked[g], p))
             assert got[g] == np.float32(single)
+
+
+# ---------------------------------------------------------------------------
+# Sharded SYMMETRIC-mode prune (halo_modes): north-star boundary extension
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mesh_shape,names,level", [
+    ({"row": 2, "col": 4}, ("row", "col"), 2),
+    ({"row": 4, "col": 2}, ("row", "col"), 1),
+    ({"row": 2, "col": 4}, ("row", None), 3),
+    ({"row": 1, "col": 8}, (None, "col"), 1),
+])
+def test_sharded_symmetric_prune_matches_unsharded(rng, mesh_shape, names,
+                                                   level, monkeypatch):
+    """Bit-exact threshold + reconstruction vs the unsharded engine prune
+    (same valid-mode convs, same accumulation order, same radix select).
+    The engine's small-axis dense-matmul shortcut accumulates differently
+    (1-ulp), so pin both paths to the conv kernels."""
+    from wavelettransforms_tpu.ops import dwt_jax as dj
+    from wavelettransforms_tpu.parallel.halo_modes import (
+        run_sharded_prune_sym)
+
+    monkeypatch.setattr(dj, "MATMUL_MAX_N", 0)
+    mesh = make_mesh(mesh_shape)
+    x = rng.standard_normal((128, 128)).astype(np.float32)
+    got, thr = run_sharded_prune_sym(x, "bior4.4", level, 61.8, mesh, names)
+    want, thr_w = dwt_prune_tensor(jnp.asarray(x), "bior4.4", level, 61.8,
+                                   mode="symmetric")
+    assert got.shape == want.shape == x.shape
+    assert float(thr) == float(thr_w), (float(thr), float(thr_w))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_symmetric_prune_batched_lead(rng, monkeypatch):
+    """Leading batch dims ride along unsharded; mosaic padding zeros and the
+    global percentile stay per-whole-tensor (one threshold)."""
+    from wavelettransforms_tpu.ops import dwt_jax as dj
+    from wavelettransforms_tpu.parallel.halo_modes import (
+        run_sharded_prune_sym)
+
+    monkeypatch.setattr(dj, "MATMUL_MAX_N", 0)
+    mesh = make_mesh({"row": 2, "col": 4})
+    x = rng.standard_normal((3, 64, 128)).astype(np.float32)
+    got, thr = run_sharded_prune_sym(x, "db2", 2, 50.0, mesh,
+                                     ("row", "col"))
+    want, thr_w = dwt_prune_tensor(jnp.asarray(x), "db2", 2, 50.0,
+                                   mode="symmetric")
+    assert float(thr) == float(thr_w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_symmetric_rejects_short_shards():
+    from wavelettransforms_tpu.parallel.halo_modes import (
+        run_sharded_prune_sym)
+
+    mesh = make_mesh({"row": 2, "col": 4})
+    x = jnp.zeros((64, 64), jnp.float32)  # col local 16 -> level-2 len 4 < F-2
+    with pytest.raises(ValueError, match="too short"):
+        run_sharded_prune_sym(x, "bior4.4", 2, 50.0, mesh, ("row", "col"))

@@ -1,0 +1,418 @@
+"""Mesh-sharded multi-level DWT prune for SYMMETRIC boundary extension.
+
+``halo.py`` covers ``mode='periodization'``, where the ring wraparound IS the
+boundary condition.  This module extends the sharded encode -> global
+percentile -> decode pipeline to pywt's ``symmetric`` mode (the BASELINE.json
+north star's boundary extension), where subband lengths are the valid-mode
+``(n + F - 1) // 2`` — they do NOT halve exactly, so shards become RAGGED:
+
+  * interior shards always hold ``L_k = L / 2**k`` real coefficients
+    (L = local input length, constrained even through every level);
+  * the LAST shard along a sharded axis holds ``r_k`` real coefficients with
+    ``r_{k+1} = (r_k + F - 1) // 2`` — up to ``F`` more than interior shards.
+
+All raggedness is STATIC: shard buffers carry a fixed tail of ``F`` slack
+columns, real lengths per level are compile-time integers, and per-shard
+behavior (edge reflection vs neighbor halo, real-length masks) is selected
+with ``axis_index`` at trace time.  Collectives per level per sharded axis:
+
+  * analysis: ONE non-wrapping ``ppermute`` (left halo of ``F - 2`` columns;
+    the global left edge reflects its own head, the global right edge
+    reflects its own tail — pywt half-sample symmetry, verified against
+    ops/dwt_numpy._extension_indices);
+  * synthesis: ONE non-wrapping ``ppermute`` (right halo of ``(F - 1) // 2``
+    coefficients; the valid-mode synthesis reads no left halo because odd
+    upsampled slots are zero, and global edges zero-pad exactly like the
+    unsharded full correlation).
+
+The global percentile masks each shard's slack tail to +inf (never counted
+below any finite candidate) and feeds the REAL coefficient count plus the
+reference's mosaic-padding zeros (virtual, dj.mosaic_pad_count) into
+parallel.quantile.percentile_abs_pytree — bit-identical thresholds to the
+unsharded engine path (/root/reference/ResNet/dwt_pruning.py:67-73
+semantics).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..wavelets import Wavelet, get_wavelet
+from ..ops import dwt_jax as dj
+from ..ops.dwt_jax import _conv1d_last
+from .quantile import percentile_abs_pytree
+
+MODE = "symmetric"
+
+
+# ---------------------------------------------------------------------------
+# Static shard-size bookkeeping
+# ---------------------------------------------------------------------------
+
+class _AxisPlan:
+    """Per-sharded-axis real-length schedule: level k coefficients hold
+    ``interior[k]`` real entries on shards 0..nd-2 and ``last[k]`` on the
+    final shard, inside buffers of ``buf[k]`` (uniform across shards)."""
+
+    def __init__(self, local_len: int, n_dev: int, level: int, F: int):
+        if local_len % (1 << level):
+            raise ValueError(
+                f"local shard length {local_len} must stay even through "
+                f"{level} level(s): need {local_len} % {1 << level} == 0")
+        self.interior = [local_len]
+        self.last = [local_len]
+        self.buf = [local_len]
+        for _ in range(level):
+            li = self.interior[-1] // 2
+            lr = (self.last[-1] + F - 1) // 2
+            self.interior.append(li)
+            self.last.append(lr)
+            self.buf.append(li + F)  # slack: last-shard surplus < F
+        for k in range(1, level + 1):
+            if self.interior[k] < F - 2 or self.last[k] < F - 1:
+                raise ValueError(
+                    f"level {k}: local shard lengths "
+                    f"({self.interior[k]}/{self.last[k]}) too short for "
+                    f"filter length {F} halos/reflections — use fewer "
+                    "devices or levels")
+
+
+def _axis_plans(x_shape, axis_names, n_devs, level: int, F: int):
+    """(plan or None) per spatial axis (-2, -1)."""
+    plans = []
+    for sp_ax, name, nd in zip((-2, -1), axis_names, n_devs):
+        plans.append(None if name is None
+                     else _AxisPlan(x_shape[sp_ax], nd, level, F))
+    return plans
+
+
+# ---------------------------------------------------------------------------
+# 1-D sharded valid-mode passes (last axis)
+# ---------------------------------------------------------------------------
+
+def _sym_dwt_last_sharded(x, w: Wavelet, axis_name: str,
+                          l_int: int, l_last: int, buf_out: int):
+    """Single-level symmetric-mode DWT along the (sharded) last axis.
+
+    ``x``: (..., B) buffer with ``l_int`` real columns on interior shards and
+    ``l_last`` on the final shard (garbage beyond).  Returns (cA, cD) buffers
+    of width ``buf_out`` (same ragged convention; garbage tail undefined).
+
+    Output k (shard-local) reads extended-signal columns [2k, 2k + F), where
+    the extension is [left halo of F-2 | real | right reflection] — exactly
+    ops/dwt_numpy._extension_indices(mode='symmetric') restricted to this
+    shard's output range.
+    """
+    F = w.dec_len
+    hL = F - 2
+    nd = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    dec_lo = jnp.asarray(w.dec_lo[::-1].copy(), dtype=x.dtype)
+    dec_hi = jnp.asarray(w.dec_hi[::-1].copy(), dtype=x.dtype)
+
+    if hL:
+        # every shard sends its interior-position tail rightward; shard 0
+        # receives zeros and replaces them with its own head reflection
+        tail = x[..., l_int - hL:l_int]
+        left = lax.ppermute(tail, axis_name,
+                            [(i, i + 1) for i in range(nd - 1)])
+        left = jnp.where(idx == 0, jnp.flip(x[..., :hL], -1), left)
+        parts = [left]
+    else:
+        parts = []
+
+    # body: interior shards' outputs never read past their real columns
+    # (max read = 2*(l_int/2 - 1) + F - 1 - hL = l_int + 1 - ... < l_int in
+    # body coords); the last shard appends its tail reflection AT column
+    # l_last — build both statically, select by shard index
+    refl = jnp.flip(x[..., l_last - (F - 1):l_last], -1)
+    body_last = jnp.concatenate([x[..., :l_last], refl], -1)
+    pad_to = max(x.shape[-1], body_last.shape[-1])
+
+    def padded(t):
+        d = pad_to - t.shape[-1]
+        return t if d == 0 else jnp.pad(
+            t, [(0, 0)] * (t.ndim - 1) + [(0, d)])
+
+    body = jnp.where(idx == nd - 1, padded(body_last), padded(x))
+    xe = jnp.concatenate(parts + [body], -1)
+
+    cA = _conv1d_last(xe, dec_lo, 2)
+    cD = _conv1d_last(xe, dec_hi, 2)
+
+    def to_buf(t):
+        d = buf_out - t.shape[-1]
+        if d > 0:
+            t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, d)])
+        return t[..., :buf_out]
+
+    return to_buf(cA), to_buf(cD)
+
+
+def _sym_idwt_last_sharded(cA, cD, w: Wavelet, axis_name: str,
+                           c_int: int, c_last: int, buf_out: int):
+    """Single-level symmetric-mode synthesis along the (sharded) last axis.
+
+    Valid-mode synthesis x[i] = sum_m u[m] rec[i + F - 2 - m] (u = zero-
+    upsampled coefficients) — shard-local output i reads coefficient columns
+    [ceil((i-1)/2), (i + F - 2) // 2]: a RIGHT halo of (F-1)//2 columns and
+    no left halo.  Global edges zero-pad, exactly like the unsharded full
+    correlation (ops/dwt_jax._idwt_last_conv valid path).
+    """
+    F = w.rec_len
+    hR = (F - 1) // 2
+    nd = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    rec_lo = jnp.asarray(w.rec_lo[::-1].copy(), dtype=cA.dtype)
+    rec_hi = jnp.asarray(w.rec_hi[::-1].copy(), dtype=cA.dtype)
+
+    # zero the slack tail: garbage must contribute exactly the zeros the
+    # unsharded u has beyond the real coefficient range
+    cols = jnp.arange(cA.shape[-1])
+    real = jnp.where(idx == nd - 1, c_last, c_int)
+    mask = (cols < real).astype(cA.dtype)
+    cA = cA * mask
+    cD = cD * mask
+
+    # extension of F columns appended DIRECTLY AFTER column c_int (global
+    # coefficient coordinates are c_int-strided): interior shards put the
+    # right-neighbor's head (hR real halo columns) there; the LAST shard
+    # puts its own surplus coefficients (columns c_int..c_last, already
+    # masked to zero beyond) — its halo would be the zeros past the global
+    # end, which the masked surplus already is beyond c_last.
+    ext_len = F
+
+    def with_halo(c):
+        head = c[..., :hR]
+        right = lax.ppermute(head, axis_name,
+                             [(i + 1, i) for i in range(nd - 1)])
+        pad_cols = [(0, 0)] * (c.ndim - 1)
+        halo_ext = jnp.pad(right, pad_cols + [(0, ext_len - hR)])
+        own_ext = c[..., c_int:c_int + ext_len]
+        ext = jnp.where(idx == nd - 1, own_ext, halo_ext)
+        return jnp.concatenate([c[..., :c_int], ext], -1)
+
+    def upsample(c):
+        z = jnp.zeros_like(c)
+        u = jnp.stack([c, z], axis=-1).reshape(c.shape[:-1]
+                                               + (2 * c.shape[-1],))
+        # prepend one zero: x[i] = sum_j rec_rev[j] u[i - 1 + j]
+        return jnp.pad(u, [(0, 0)] * (c.ndim - 1) + [(1, 0)])
+
+    ua = upsample(with_halo(cA))
+    ud = upsample(with_halo(cD))
+    y = _conv1d_last(ua, rec_lo, 1) + _conv1d_last(ud, rec_hi, 1)
+
+    d = buf_out - y.shape[-1]
+    if d > 0:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, d)])
+    return y[..., :buf_out]
+
+
+def _local_valid(x, w: Wavelet, axis: int):
+    """Unsharded valid-mode DWT along ``axis`` (whole axis local)."""
+    return dj.dwt(x, w, MODE, axis=axis)
+
+
+def _move(fn, x, axis, *rest, **kw):
+    xm = jnp.moveaxis(x, axis, -1)
+    out = fn(xm, *rest, **kw)
+    if isinstance(out, tuple):
+        return tuple(jnp.moveaxis(o, -1, axis) for o in out)
+    return jnp.moveaxis(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled multi-level transform + prune
+# ---------------------------------------------------------------------------
+
+def sharded_wavedec2_sym_tiled(x_local, wavelet, level: int, axis_names,
+                               plans):
+    """Multi-level symmetric-mode 2-D DWT on a (possibly 2-D) tiled shard.
+    Call inside shard_map.  Returns the subband pytree [cA, (cH,cV,cD)...]
+    with RAGGED buffers (see module docstring); real lengths per level come
+    from ``plans`` (an _AxisPlan per spatial axis, None = unsharded axis)."""
+    w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
+    name0, name1 = axis_names
+    p0, p1 = plans
+
+    def dwt_axis(t, axis, name, plan, k):
+        if name is None:
+            return _local_valid(t, w, axis)
+        return _move(_sym_dwt_last_sharded, t, axis, w, name,
+                     plan.interior[k], plan.last[k], plan.buf[k + 1])
+
+    coeffs = []
+    a = x_local
+    for k in range(level):
+        a0, d0 = dwt_axis(a, -2, name0, p0, k)
+        aa, ad = dwt_axis(a0, -1, name1, p1, k)
+        da, dd = dwt_axis(d0, -1, name1, p1, k)
+        coeffs.append((da, ad, dd))
+        a = aa
+    return [a] + coeffs[::-1]
+
+
+def sharded_waverec2_sym_tiled(coeffs, wavelet, level: int, axis_names,
+                               plans):
+    """Inverse of sharded_wavedec2_sym_tiled (crop-to-detail between levels
+    is pure static bookkeeping: real lengths revert to the analysis-side
+    schedule, garbage columns are re-masked by the next level's synthesis)."""
+    w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
+    name0, name1 = axis_names
+    p0, p1 = plans
+
+    def idwt_axis(ca, cd, axis, name, plan, k):
+        # synthesizing level-(k+1) coefficients back to level-k length
+        if name is None:
+            return dj.idwt(ca, cd, w, MODE, axis=axis)
+        cam = jnp.moveaxis(ca, axis, -1)
+        cdm = jnp.moveaxis(cd, axis, -1)
+        y = _sym_idwt_last_sharded(cam, cdm, w, name, plan.interior[k + 1],
+                                   plan.last[k + 1], plan.buf[k])
+        return jnp.moveaxis(y, -1, axis)
+
+    a = coeffs[0]
+    for i, (da, ad, dd) in enumerate(coeffs[1:]):
+        k = level - 1 - i  # synthesizing from level k+1 down to level k
+        # crop a to the detail band's buffer shape (the coarser synthesis
+        # returned buf[k+1]-wide buffers == detail width; raggedness beyond
+        # the detail's real length is masked inside the synthesis passes)
+        for ax in (-2, -1):
+            if a.shape[ax] > da.shape[ax]:
+                a = lax.slice_in_dim(a, 0, da.shape[ax], axis=ax % a.ndim)
+        a0 = idwt_axis(a, ad, -1, name1, p1, k)
+        d0 = idwt_axis(da, dd, -1, name1, p1, k)
+        a = idwt_axis(a0, d0, -2, name0, p0, k)
+    return a
+
+
+def _real_mask(shape, axis_names, plans, k):
+    """Multiplicative {0,1} mask of the REAL region of a level-k subband
+    buffer (1 = real coefficient, 0 = slack), per-shard via axis_index."""
+    m = None
+    for sp_ax, name, plan in zip((-2, -1), axis_names, plans):
+        if name is None:
+            continue
+        nd = lax.axis_size(name)
+        idx = lax.axis_index(name)
+        real = jnp.where(idx == nd - 1, plan.last[k], plan.interior[k])
+        ax = sp_ax % len(shape)
+        col = jnp.arange(shape[ax])
+        col = col.reshape((-1,) + (1,) * (len(shape) - 1 - ax))
+        mm = (col < real)
+        m = mm if m is None else (m & mm)
+    return m
+
+
+def sharded_dwt_prune_sym_tiled(x_local, wavelet, level: int,
+                                percentile: float, axis_names, plans,
+                                total_real: int, pad_zeros: int):
+    """Full sharded symmetric-mode encode -> ONE global percentile ->
+    fused-threshold decode for one (tiled) tensor shard.  Reference
+    semantics: one percentile over the PADDED mosaic of the whole tensor
+    (slack entries are masked to +inf so only real coefficients and the
+    virtual mosaic-padding zeros participate)."""
+    w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
+    coeffs = sharded_wavedec2_sym_tiled(x_local, wavelet, level, axis_names,
+                                        plans)
+    psum_axes = tuple(n for n in axis_names if n is not None)
+    psum_name = (psum_axes if len(psum_axes) > 1
+                 else (psum_axes[0] if psum_axes else None))
+
+    inf = jnp.asarray(jnp.inf, x_local.dtype)
+    masked = []
+    levels = [level] + [lv for lv in range(level, 0, -1) for _ in range(3)]
+    leaves = [coeffs[0]] + [b for det in coeffs[1:] for b in det]
+    for leaf, lv in zip(leaves, levels):
+        m = _real_mask(leaf.shape, axis_names, plans, lv)
+        masked.append(leaf if m is None else jnp.where(m, leaf, inf))
+
+    thr = percentile_abs_pytree(masked, float(percentile),
+                                axis_name=psum_name, total_size=total_real,
+                                pad_zeros=pad_zeros)
+    pruned_leaves = [
+        jnp.where(jnp.abs(c) < thr, jnp.zeros((), c.dtype), c)
+        for c in leaves
+    ]
+    pruned = [pruned_leaves[0]] + [
+        tuple(pruned_leaves[1 + 3 * i: 4 + 3 * i])
+        for i in range(level)
+    ]
+    return sharded_waverec2_sym_tiled(pruned, wavelet, level, axis_names,
+                                      plans), thr
+
+
+def run_sharded_prune_sym(x, wavelet: str, level: int, percentile: float,
+                          mesh: Mesh, axis_names=("row", "col")):
+    """Driver (BASELINE config 4 with SYMMETRIC boundary extension): tile
+    both spatial axes of ``x`` over the named 2-D mesh axes, run the
+    halo-exchange symmetric-mode prune with a two-axis psum percentile, and
+    return the de-slacked global result (same shape as ``x``) plus the
+    threshold.  Either axis name may be None for an unsharded spatial axis.
+
+    Equivalence contract (tested): bit-identical threshold and
+    reconstruction to the unsharded engine prune
+    (prune.dwt_prune.dwt_prune_tensor, mode='symmetric') for any mesh shape.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    w = get_wavelet(wavelet)
+    F = w.dec_len
+    ndim = x.ndim
+    spec = [None] * ndim
+    n_devs = []
+    for sp_ax, name in zip((-2, -1), axis_names):
+        if name is None:
+            n_devs.append(1)
+            continue
+        nd = mesh.shape[name]
+        n_devs.append(nd)
+        if x.shape[sp_ax] % nd:
+            raise ValueError(
+                f"spatial axis of length {x.shape[sp_ax]} must divide the "
+                f"'{name}' mesh axis ({nd})")
+        spec[sp_ax % ndim] = name
+    plans = []
+    for sp_ax, name, nd in zip((-2, -1), axis_names, n_devs):
+        plans.append(None if name is None
+                     else _AxisPlan(x.shape[sp_ax] // nd, nd, level, F))
+    pspec = P(*spec)
+
+    h, wd = x.shape[-2], x.shape[-1]
+    lead = int(np.prod(x.shape[:-2], dtype=np.int64) or 1)
+    shapes = dj.subband_shapes(h, wd, wavelet, level, MODE)
+    total_real = (shapes[-1][0] * shapes[-1][1]
+                  + sum(3 * sh * sw for sh, sw in shapes)) * lead
+    pad_zeros = dj.mosaic_pad_count(h, wd, wavelet, level, MODE) * lead
+
+    fn = shard_map(
+        functools.partial(
+            sharded_dwt_prune_sym_tiled, wavelet=wavelet, level=level,
+            percentile=percentile, axis_names=tuple(axis_names),
+            plans=plans, total_real=int(total_real),
+            pad_zeros=int(pad_zeros)),
+        mesh=mesh, in_specs=(pspec,), out_specs=(pspec, P()),
+        check_rep=False)
+    y, thr = jax.jit(fn)(jax.device_put(x, NamedSharding(mesh, pspec)))
+
+    # de-slack sharded axes (drop each shard's slack tail columns); crop
+    # unsharded axes (local valid synthesis overshoots like pywt.waverec2)
+    for sp_ax, name, nd, plan in zip((-2, -1), axis_names, n_devs, plans):
+        ax = sp_ax % ndim
+        if name is None:
+            if y.shape[ax] > x.shape[ax]:
+                y = lax.slice_in_dim(y, 0, x.shape[ax], axis=ax)
+            continue
+        B = y.shape[ax] // nd
+        L = plan.interior[0]
+        if B != L:
+            pieces = [lax.slice_in_dim(y, s * B, s * B + L, axis=ax)
+                      for s in range(nd)]
+            y = jnp.concatenate(pieces, axis=ax)
+    return y, thr
