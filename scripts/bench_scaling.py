@@ -84,6 +84,21 @@ def bench_tiled_prune(jax, n: int, size: int, level: int, reps: int) -> float:
         reps)
 
 
+def bench_tiled_prune_sym(jax, n: int, size: int, level: int,
+                          reps: int) -> float:
+    import numpy as np
+
+    from wavelettransforms_tpu.parallel.halo_modes import (
+        run_sharded_prune_sym)
+
+    mesh = _mesh_2d(jax, n)
+    x = np.random.default_rng(0).standard_normal((size, size)).astype(
+        np.float32)
+    return _time(
+        lambda: run_sharded_prune_sym(x, "bior4.4", level, 50.0, mesh)[0],
+        reps)
+
+
 def bench_gang_encode(jax, n: int, reps: int) -> float:
     import jax.numpy as jnp
     import numpy as np
@@ -142,6 +157,9 @@ def main():
     for name, fn in (("tiled_prune",
                       lambda n: bench_tiled_prune(jax, n, args.size,
                                                   args.level, args.reps)),
+                     ("tiled_prune_sym",
+                      lambda n: bench_tiled_prune_sym(jax, n, args.size,
+                                                      args.level, args.reps)),
                      ("gang_encode",
                       lambda n: bench_gang_encode(jax, n, args.reps))):
         rows = []

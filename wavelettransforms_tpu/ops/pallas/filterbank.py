@@ -25,9 +25,9 @@ Design (per grid step = one full-width row band of one batch element):
     extension feeds mode-agnostic VALID-mode kernels — all boundary logic
     stays out of the kernels (pywt valid output sizes).
 
-Measured on a v5e chip (4096^2 bior4.4, median of 3 slope-timed runs):
-roundtrip 0.9 ms f32 (~300 GB/s, 18x the XLA conv path) / 0.64 ms bf16;
-symmetric-mode roundtrip 1.9 ms (10x XLA).
+Measured on a v5e chip (4096^2 bior4.4, median-of-5 slope-timed runs):
+roundtrip 0.61 ms f32 (~438 GB/s, 26x the XLA conv path) / 0.66 ms bf16;
+symmetric-mode roundtrip 1.87 ms.
 """
 from __future__ import annotations
 
