@@ -216,3 +216,23 @@ def test_sharded_symmetric_rejects_short_shards():
     x = jnp.zeros((64, 64), jnp.float32)  # col local 16 -> level-2 len 4 < F-2
     with pytest.raises(ValueError, match="too short"):
         run_sharded_prune_sym(x, "bior4.4", 2, 50.0, mesh, ("row", "col"))
+
+
+@pytest.mark.parametrize("mode", ["reflect", "zero", "constant", "periodic"])
+def test_sharded_valid_mode_prune_matches_unsharded(rng, mode, monkeypatch):
+    """Every pywt valid-size boundary mode, sharded == unsharded bit-exact
+    (periodic included: its edge extensions ride ring ppermutes)."""
+    from wavelettransforms_tpu.ops import dwt_jax as dj
+    from wavelettransforms_tpu.parallel.halo_modes import (
+        run_sharded_prune_sym)
+
+    monkeypatch.setattr(dj, "MATMUL_MAX_N", 0)
+    mesh = make_mesh({"row": 2, "col": 4})
+    x = rng.standard_normal((128, 128)).astype(np.float32)
+    got, thr = run_sharded_prune_sym(x, "db2", 2, 61.8, mesh,
+                                     ("row", "col"), mode=mode)
+    want, thr_w = dwt_prune_tensor(jnp.asarray(x), "db2", 2, 61.8,
+                                   mode=mode)
+    assert got.shape == want.shape == x.shape
+    assert float(thr) == float(thr_w), (mode, float(thr), float(thr_w))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

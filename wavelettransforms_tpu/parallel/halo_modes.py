@@ -1,9 +1,10 @@
-"""Mesh-sharded multi-level DWT prune for SYMMETRIC boundary extension.
+"""Mesh-sharded multi-level DWT prune for NON-PERIODIZATION boundary modes.
 
 ``halo.py`` covers ``mode='periodization'``, where the ring wraparound IS the
 boundary condition.  This module extends the sharded encode -> global
-percentile -> decode pipeline to pywt's ``symmetric`` mode (the BASELINE.json
-north star's boundary extension), where subband lengths are the valid-mode
+percentile -> decode pipeline to pywt's VALID-SIZE modes — ``symmetric``
+(the BASELINE.json north star's boundary extension), ``reflect``, ``zero``,
+``constant``, ``periodic`` — where subband lengths are the valid-mode
 ``(n + F - 1) // 2`` — they do NOT halve exactly, so shards become RAGGED:
 
   * interior shards always hold ``L_k = L / 2**k`` real coefficients
@@ -47,7 +48,37 @@ from ..ops import dwt_jax as dj
 from ..ops.dwt_jax import _conv1d_last
 from .quantile import percentile_abs_pytree
 
-MODE = "symmetric"
+VALID_MODES = ("symmetric", "reflect", "zero", "constant", "periodic")
+
+
+def _edge_left(x, hL: int, mode: str):
+    """Boundary extension columns PRECEDING column 0 of the global signal
+    (width hL, in signal order) — pywt conventions, verified against
+    ops/dwt_numpy._extension_indices."""
+    if mode == "symmetric":      # ... x1 x0 | x0 x1 ...
+        return jnp.flip(x[..., :hL], -1)
+    if mode == "reflect":        # ... x2 x1 | x0 x1 ...
+        return jnp.flip(x[..., 1:hL + 1], -1)
+    if mode == "zero":
+        return jnp.zeros_like(x[..., :hL])
+    if mode == "constant":       # edge replication
+        return jnp.broadcast_to(x[..., :1], x.shape[:-1] + (hL,))
+    raise ValueError(mode)       # periodic is handled with ring permutes
+
+
+def _edge_right(x, l_last: int, width: int, mode: str):
+    """Boundary extension columns FOLLOWING the last real column ``l_last``
+    of the global signal (width ``width``, in signal order)."""
+    if mode == "symmetric":      # ... x_{n-1} | x_{n-1} x_{n-2} ...
+        return jnp.flip(x[..., l_last - width:l_last], -1)
+    if mode == "reflect":        # ... x_{n-1} | x_{n-2} x_{n-3} ...
+        return jnp.flip(x[..., l_last - 1 - width:l_last - 1], -1)
+    if mode == "zero":
+        return jnp.zeros_like(x[..., :width])
+    if mode == "constant":
+        return jnp.broadcast_to(x[..., l_last - 1:l_last],
+                                x.shape[:-1] + (width,))
+    raise ValueError(mode)
 
 
 # ---------------------------------------------------------------------------
@@ -59,7 +90,8 @@ class _AxisPlan:
     ``interior[k]`` real entries on shards 0..nd-2 and ``last[k]`` on the
     final shard, inside buffers of ``buf[k]`` (uniform across shards)."""
 
-    def __init__(self, local_len: int, n_dev: int, level: int, F: int):
+    def __init__(self, local_len: int, n_dev: int, level: int, F: int,
+                 mode: str = "symmetric"):
         if local_len % (1 << level):
             raise ValueError(
                 f"local shard length {local_len} must stay even through "
@@ -73,8 +105,13 @@ class _AxisPlan:
             self.interior.append(li)
             self.last.append(lr)
             self.buf.append(li + F)  # slack: last-shard surplus < F
+        # periodic's right extension is fetched from shard 0's head
+        # (F-1 real cols); reflect reads F-1 head cols on the left edge and
+        # skips the edge sample on the right
+        need_int = F - 1 if mode in ("periodic", "reflect") else F - 2
+        need_last = F if mode == "reflect" else F - 1
         for k in range(1, level + 1):
-            if self.interior[k] < F - 2 or self.last[k] < F - 1:
+            if self.interior[k] < need_int or self.last[k] < need_last:
                 raise ValueError(
                     f"level {k}: local shard lengths "
                     f"({self.interior[k]}/{self.last[k]}) too short for "
@@ -96,8 +133,9 @@ def _axis_plans(x_shape, axis_names, n_devs, level: int, F: int):
 # ---------------------------------------------------------------------------
 
 def _sym_dwt_last_sharded(x, w: Wavelet, axis_name: str,
-                          l_int: int, l_last: int, buf_out: int):
-    """Single-level symmetric-mode DWT along the (sharded) last axis.
+                          l_int: int, l_last: int, buf_out: int,
+                          mode: str = "symmetric"):
+    """Single-level valid-size-mode DWT along the (sharded) last axis.
 
     ``x``: (..., B) buffer with ``l_int`` real columns on interior shards and
     ``l_last`` on the final shard (garbage beyond).  Returns (cA, cD) buffers
@@ -116,22 +154,33 @@ def _sym_dwt_last_sharded(x, w: Wavelet, axis_name: str,
     dec_hi = jnp.asarray(w.dec_hi[::-1].copy(), dtype=x.dtype)
 
     if hL:
-        # every shard sends its interior-position tail rightward; shard 0
-        # receives zeros and replaces them with its own head reflection
-        tail = x[..., l_int - hL:l_int]
-        left = lax.ppermute(tail, axis_name,
-                            [(i, i + 1) for i in range(nd - 1)])
-        left = jnp.where(idx == 0, jnp.flip(x[..., :hL], -1), left)
+        # every shard sends its (real) tail rightward; the global left edge
+        # takes its boundary extension instead — except 'periodic', whose
+        # left extension IS the global tail: wrap the ring like halo.py
+        tail_i = x[..., l_int - hL:l_int]
+        if mode == "periodic":
+            tail = jnp.where(idx == nd - 1, x[..., l_last - hL:l_last],
+                             tail_i)
+            left = lax.ppermute(tail, axis_name,
+                                [(i, (i + 1) % nd) for i in range(nd)])
+        else:
+            left = lax.ppermute(tail_i, axis_name,
+                                [(i, i + 1) for i in range(nd - 1)])
+            left = jnp.where(idx == 0, _edge_left(x, hL, mode), left)
         parts = [left]
     else:
         parts = []
 
     # body: interior shards' outputs never read past their real columns
-    # (max read = 2*(l_int/2 - 1) + F - 1 - hL = l_int + 1 - ... < l_int in
-    # body coords); the last shard appends its tail reflection AT column
-    # l_last — build both statically, select by shard index
-    refl = jnp.flip(x[..., l_last - (F - 1):l_last], -1)
-    body_last = jnp.concatenate([x[..., :l_last], refl], -1)
+    # (max read = 2*(l_int/2 - 1) + F - 1 - hL = l_int - 1 in body coords);
+    # the last shard appends the right boundary extension AT column l_last —
+    # build both statically, select by shard index
+    if mode == "periodic":
+        # right extension = global head = shard 0's first F-1 real columns
+        ext = lax.ppermute(x[..., :F - 1], axis_name, [(0, nd - 1)])
+    else:
+        ext = _edge_right(x, l_last, F - 1, mode)
+    body_last = jnp.concatenate([x[..., :l_last], ext], -1)
     pad_to = max(x.shape[-1], body_last.shape[-1])
 
     def padded(t):
@@ -214,9 +263,9 @@ def _sym_idwt_last_sharded(cA, cD, w: Wavelet, axis_name: str,
     return y[..., :buf_out]
 
 
-def _local_valid(x, w: Wavelet, axis: int):
+def _local_valid(x, w: Wavelet, axis: int, mode: str):
     """Unsharded valid-mode DWT along ``axis`` (whole axis local)."""
-    return dj.dwt(x, w, MODE, axis=axis)
+    return dj.dwt(x, w, mode, axis=axis)
 
 
 def _move(fn, x, axis, *rest, **kw):
@@ -232,7 +281,7 @@ def _move(fn, x, axis, *rest, **kw):
 # ---------------------------------------------------------------------------
 
 def sharded_wavedec2_sym_tiled(x_local, wavelet, level: int, axis_names,
-                               plans):
+                               plans, mode: str = "symmetric"):
     """Multi-level symmetric-mode 2-D DWT on a (possibly 2-D) tiled shard.
     Call inside shard_map.  Returns the subband pytree [cA, (cH,cV,cD)...]
     with RAGGED buffers (see module docstring); real lengths per level come
@@ -243,9 +292,10 @@ def sharded_wavedec2_sym_tiled(x_local, wavelet, level: int, axis_names,
 
     def dwt_axis(t, axis, name, plan, k):
         if name is None:
-            return _local_valid(t, w, axis)
+            return _local_valid(t, w, axis, mode)
         return _move(_sym_dwt_last_sharded, t, axis, w, name,
-                     plan.interior[k], plan.last[k], plan.buf[k + 1])
+                     plan.interior[k], plan.last[k], plan.buf[k + 1],
+                     mode=mode)
 
     coeffs = []
     a = x_local
@@ -259,7 +309,7 @@ def sharded_wavedec2_sym_tiled(x_local, wavelet, level: int, axis_names,
 
 
 def sharded_waverec2_sym_tiled(coeffs, wavelet, level: int, axis_names,
-                               plans):
+                               plans, mode: str = "symmetric"):
     """Inverse of sharded_wavedec2_sym_tiled (crop-to-detail between levels
     is pure static bookkeeping: real lengths revert to the analysis-side
     schedule, garbage columns are re-masked by the next level's synthesis)."""
@@ -270,7 +320,7 @@ def sharded_waverec2_sym_tiled(coeffs, wavelet, level: int, axis_names,
     def idwt_axis(ca, cd, axis, name, plan, k):
         # synthesizing level-(k+1) coefficients back to level-k length
         if name is None:
-            return dj.idwt(ca, cd, w, MODE, axis=axis)
+            return dj.idwt(ca, cd, w, mode, axis=axis)
         cam = jnp.moveaxis(ca, axis, -1)
         cdm = jnp.moveaxis(cd, axis, -1)
         y = _sym_idwt_last_sharded(cam, cdm, w, name, plan.interior[k + 1],
@@ -312,7 +362,8 @@ def _real_mask(shape, axis_names, plans, k):
 
 def sharded_dwt_prune_sym_tiled(x_local, wavelet, level: int,
                                 percentile: float, axis_names, plans,
-                                total_real: int, pad_zeros: int):
+                                total_real: int, pad_zeros: int,
+                                mode: str = "symmetric"):
     """Full sharded symmetric-mode encode -> ONE global percentile ->
     fused-threshold decode for one (tiled) tensor shard.  Reference
     semantics: one percentile over the PADDED mosaic of the whole tensor
@@ -320,7 +371,7 @@ def sharded_dwt_prune_sym_tiled(x_local, wavelet, level: int,
     virtual mosaic-padding zeros participate)."""
     w = get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
     coeffs = sharded_wavedec2_sym_tiled(x_local, wavelet, level, axis_names,
-                                        plans)
+                                        plans, mode)
     psum_axes = tuple(n for n in axis_names if n is not None)
     psum_name = (psum_axes if len(psum_axes) > 1
                  else (psum_axes[0] if psum_axes else None))
@@ -345,11 +396,12 @@ def sharded_dwt_prune_sym_tiled(x_local, wavelet, level: int,
         for i in range(level)
     ]
     return sharded_waverec2_sym_tiled(pruned, wavelet, level, axis_names,
-                                      plans), thr
+                                      plans, mode), thr
 
 
 def run_sharded_prune_sym(x, wavelet: str, level: int, percentile: float,
-                          mesh: Mesh, axis_names=("row", "col")):
+                          mesh: Mesh, axis_names=("row", "col"),
+                          mode: str = "symmetric"):
     """Driver (BASELINE config 4 with SYMMETRIC boundary extension): tile
     both spatial axes of ``x`` over the named 2-D mesh axes, run the
     halo-exchange symmetric-mode prune with a two-axis psum percentile, and
@@ -362,6 +414,9 @@ def run_sharded_prune_sym(x, wavelet: str, level: int, percentile: float,
     """
     from jax.experimental.shard_map import shard_map
 
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode {mode!r} not in {VALID_MODES} "
+                         "(use parallel.halo for 'periodization')")
     w = get_wavelet(wavelet)
     F = w.dec_len
     ndim = x.ndim
@@ -381,22 +436,23 @@ def run_sharded_prune_sym(x, wavelet: str, level: int, percentile: float,
     plans = []
     for sp_ax, name, nd in zip((-2, -1), axis_names, n_devs):
         plans.append(None if name is None
-                     else _AxisPlan(x.shape[sp_ax] // nd, nd, level, F))
+                     else _AxisPlan(x.shape[sp_ax] // nd, nd, level, F,
+                                    mode))
     pspec = P(*spec)
 
     h, wd = x.shape[-2], x.shape[-1]
     lead = int(np.prod(x.shape[:-2], dtype=np.int64) or 1)
-    shapes = dj.subband_shapes(h, wd, wavelet, level, MODE)
+    shapes = dj.subband_shapes(h, wd, wavelet, level, mode)
     total_real = (shapes[-1][0] * shapes[-1][1]
                   + sum(3 * sh * sw for sh, sw in shapes)) * lead
-    pad_zeros = dj.mosaic_pad_count(h, wd, wavelet, level, MODE) * lead
+    pad_zeros = dj.mosaic_pad_count(h, wd, wavelet, level, mode) * lead
 
     fn = shard_map(
         functools.partial(
             sharded_dwt_prune_sym_tiled, wavelet=wavelet, level=level,
             percentile=percentile, axis_names=tuple(axis_names),
             plans=plans, total_real=int(total_real),
-            pad_zeros=int(pad_zeros)),
+            pad_zeros=int(pad_zeros), mode=mode),
         mesh=mesh, in_specs=(pspec,), out_specs=(pspec, P()),
         check_rep=False)
     y, thr = jax.jit(fn)(jax.device_put(x, NamedSharding(mesh, pspec)))
