@@ -119,3 +119,30 @@ def test_grouped_gang_forced_on_cpu(rng, monkeypatch):
                                       np.asarray(grouped[k]), err_msg=k)
     assert [l.pruned_count for l in bstats.layers] == \
            [l.pruned_count for l in gstats.layers]
+
+
+def test_percentile_negative_pad_zeros_matches_mosaic(rng):
+    """Tile-padded leaves carry PHYSICAL exact-zero pad cells (filterbank
+    padded_out); pad_zeros = mosaic_pad - physical_pad (negative here) must
+    still reproduce the percentile over the reference's padded mosaic."""
+    h, w, wav, lvl, mode = 40, 48, "db2", 3, "symmetric"
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, h, w)).astype(np.float32))
+    coeffs = dj.wavedec2(x, wav, lvl, mode)
+    arr, _ = dj.coeffs_to_array(coeffs)
+    leaves = [coeffs[0]] + [c for d in coeffs[1:] for c in d]
+    mosaic = dj.mosaic_pad_count(h, w, wav, lvl, mode) * B
+    padded = [jnp.pad(l, [(0, 0), (0, 3), (0, 5)]) for l in leaves]
+    phys = sum(p.size - l.size for p, l in zip(padded, leaves))
+    assert phys > mosaic, "test must exercise the negative branch"
+    n = arr.size
+    ps = [0.0, 1.0, 50.0, 61.8, 99.5, 100.0,
+          (mosaic - 0.5) / (n - 1) * 100.0,
+          (mosaic + 0.5) / (n - 1) * 100.0]
+    for p in ps:
+        t_mosaic = th.percentile_threshold_value(arr, p)
+        t_virtual = q.percentile_abs_pytree(padded, p,
+                                            pad_zeros=mosaic - phys)
+        np.testing.assert_array_equal(
+            np.asarray(t_mosaic, np.float32), np.asarray(t_virtual),
+            err_msg=f"p={p}")

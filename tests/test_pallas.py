@@ -274,3 +274,36 @@ def test_bf16x3_mxu_error_bound():
     proc = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
+
+
+@pytest.mark.parametrize("wav,lvl,mode", [
+    ("db2", 3, "symmetric"), ("bior4.4", 2, "reflect"), ("haar", 2, "zero")])
+def test_padded_mode_pipeline_matches_unpadded(wav, lvl, mode, rng):
+    """padded=True analysis emits tile-padded subbands whose true region is
+    BIT-EQUAL to the unpadded kernels and whose pad region is EXACT zeros;
+    the padded synthesis chain (true_shapes) reproduces the unpadded
+    reconstruction bit-exactly on its extent."""
+    x = jnp.asarray(rng.standard_normal((2, 40, 48)).astype(np.float32))
+    coeffs, shapes = fb.wavedec2_pallas_mode(x, wav, lvl, mode,
+                                             interpret=True, padded=True)
+    plain = fb.wavedec2_pallas_mode(x, wav, lvl, mode, interpret=True)
+
+    def chk(p, u, sh):
+        h, w = sh
+        p = np.asarray(p)
+        np.testing.assert_array_equal(p[:, :h, :w], np.asarray(u))
+        mask = np.ones(p.shape, bool)
+        mask[:, :h, :w] = False
+        assert (p[mask] == 0).all(), "pad region must be exact zeros"
+
+    chk(coeffs[0], plain[0], shapes[0])
+    for pd, ud, sh in zip(coeffs[1:], plain[1:], shapes[1:]):
+        for p, u in zip(pd, ud):
+            chk(p, u, sh)
+
+    rec_p = fb.waverec2_pallas_mode(coeffs, wav, mode, interpret=True,
+                                    true_shapes=shapes)
+    rec_u = fb.waverec2_pallas_mode(plain, wav, mode, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec_p)[:, :rec_u.shape[1], :rec_u.shape[2]],
+        np.asarray(rec_u))

@@ -252,7 +252,7 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret"))
-def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
+def dwt2_level_pallas(x, wavelet: str, tm: int | None = None,
                       interpret: bool | None = None):
     """Single-level 2-D periodization DWT of (B, H, W) float32 or bfloat16.
 
@@ -260,12 +260,17 @@ def dwt2_level_pallas(x, wavelet: str, tm: int = 128,
       hl = detail along rows (pywt 'da' / cH), lh = detail along cols ('ad').
     H must be a multiple of ``tm``; H, W even; halo (= dec_len/2-1) < tm.
     bfloat16 inputs halve HBM traffic (lossy paths); compute is f32.
+
+    ``tm=None`` picks 256-row bands when H allows (fewer, larger input DMAs:
+    measured 431 -> 447 GB/s on the 4096^2 bior4.4 roundtrip), else 128.
     """
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     B, H, W = x.shape
     F = w.dec_len
     halo = F // 2 - 1
+    if tm is None:
+        tm = 256 if H % 256 == 0 else 128
     tm = min(tm, H)
     assert H % tm == 0 and H % 2 == 0 and W % 2 == 0 and halo < tm, (
         H, W, tm, halo)
@@ -794,11 +799,46 @@ def _row_pass_valid_mxu(xe, T, F: int, out_cols: int):
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
 
 
+# Shared sizing helpers: the PADDED analysis output (``padded_out=True``)
+# must be at least as large as what the valid-mode synthesis kernel DMAs,
+# so both sides compute band geometry through these single sources of truth.
+
+def _synth_tno(h_out: int, sub: int) -> int:
+    """Synthesis row-band height (must keep k0 = step*tno/2 sub-aligned)."""
+    tno = min(256, -(-h_out // (2 * sub)) * (2 * sub))
+    if tno % (2 * sub):
+        tno = -(-tno // (2 * sub)) * (2 * sub)
+    return tno
+
+
+def _synth_rows_needed(h_out: int, F: int, sub: int) -> int:
+    """Coefficient rows the synthesis kernel's last band DMA touches."""
+    tno = _synth_tno(h_out, sub)
+    nb = -(-h_out // tno)
+    krows = -(-(tno // 2 + (F - 1) // 2) // sub) * sub
+    return (nb - 1) * (tno // 2) + krows
+
+
+def _synth_cols_needed(w_out: int, F: int) -> int:
+    """Coefficient lane width the synthesis kernel's band DMA needs
+    (128-aligned)."""
+    wout_pad = -(-w_out // _MXU_OUT) * _MXU_OUT
+    wv = 64 + (F - 1) // 2
+    return -(-((wout_pad // _MXU_OUT - 1) * 64 + wv) // 128) * 128
+
+
 def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
                          *, tmo: int, lr: int, wp: int, F: int,
-                         lo_rev, hi_rev, tref, sub: int = 8):
+                         lo_rev, hi_rev, tref, sub: int = 8,
+                         mask_shape=None):
     """Valid-mode fused 2-D analysis over the pre-extended input: one
-    contiguous double-buffered band DMA per step, no boundary cases."""
+    contiguous double-buffered band DMA per step, no boundary cases.
+
+    ``mask_shape=(hp_out, wp_out)`` (static) zeroes every output cell beyond
+    the true subband extent — emitted pad regions are EXACT zeros, so
+    downstream consumers (synthesis band DMAs, the Pallas count kernel) can
+    read the padded arrays directly with the physical zeros accounted
+    analytically in the percentile rank."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -827,6 +867,17 @@ def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
     T = tref[...]
     ll, lh = _row_pass_valid_mxu(a0, T, F, wp)
     hl, hh = _row_pass_valid_mxu(d0, T, F, wp)
+    if mask_shape is not None:
+        hp_out, wp_out = mask_shape
+        rowi = (jax.lax.broadcasted_iota(jnp.int32, (tmo, wp), 0)
+                + i * tmo)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, wp), 1)
+        keep = (rowi < hp_out) & (coli < wp_out)
+        zero = jnp.zeros((), jnp.float32)
+        ll = jnp.where(keep, ll, zero)
+        hl = jnp.where(keep, hl, zero)
+        lh = jnp.where(keep, lh, zero)
+        hh = jnp.where(keep, hh, zero)
     ll_ref[...] = ll.astype(ll_ref.dtype)
     hl_ref[...] = hl.astype(hl_ref.dtype)
     lh_ref[...] = lh.astype(lh_ref.dtype)
@@ -834,18 +885,35 @@ def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tmo",
-                                             "interpret"))
+                                             "interpret", "true_shape",
+                                             "padded_out"))
 def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
-                           tmo: int = 128, interpret: bool | None = None):
+                           tmo: int = 128, interpret: bool | None = None,
+                           true_shape=None, padded_out: bool = False):
     """Single-level 2-D DWT of (B, H, W) for NON-periodization modes
     (symmetric / reflect / zero / periodic / constant): jnp.pad edge
     extension + one fused valid-mode Pallas kernel.  Returns (ll, hl, lh,
-    hh), each (B, (H+F-1)//2, (W+F-1)//2) — pywt sizes."""
+    hh), each (B, (H+F-1)//2, (W+F-1)//2) — pywt sizes.
+
+    ``true_shape=(h, w)`` (static): the input's real extent when ``x`` is a
+    tile-padded LL from a previous ``padded_out`` level — the extension pad
+    is built from ``x[:, :h, :w]`` (the slice fuses into the pad's copy).
+
+    ``padded_out=True`` keeps the subbands TILE-PADDED (no output slice):
+    rows/lanes are sized to cover both the Pallas count kernel's (8, 128)
+    alignment and the valid-mode synthesis kernel's band DMAs
+    (``_synth_rows_needed`` / ``_synth_cols_needed``), and the kernel writes
+    EXACT ZEROS beyond (hp_out, wp_out).  This removes three materialized
+    copies per level from the prune pipeline (subband slice here, re-pad in
+    ``count_below``, prep-pad in synthesis); the physical pad zeros enter
+    the reference percentile rank analytically
+    (quantile.percentile_abs_pytree ``pad_zeros``, which may go negative)."""
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     if mode == "periodization":
         return dwt2_level_pallas(x, wavelet, interpret=interpret)
-    B, H, W = x.shape
+    B = x.shape[0]
+    H, W = true_shape if true_shape is not None else x.shape[1:]
     F = w.dec_len
     pad = F - 1
     hp_out = (H + F - 1) // 2
@@ -853,10 +921,11 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
     lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
     hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
 
+    xt = x[:, :H, :W] if x.shape[1:] != (H, W) else x
     if mode == "zero":
-        ext = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad)])
+        ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)])
     else:
-        ext = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad)],
+        ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)],
                       mode=_PAD_MODE[mode])
     xe = ext[:, 1:, 1:]
 
@@ -864,10 +933,19 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
     tmo = min(tmo, -(-hp_out // sub) * sub)
     if tmo % sub:
         tmo = -(-tmo // sub) * sub
-    nb = -(-hp_out // tmo)
+    if padded_out:
+        # cover the synthesis band DMAs reconstructing (2*hp_out - F + 2,
+        # 2*wp_out - F + 2) from these subbands, and 128-lane alignment for
+        # the count kernel
+        rows_min = max(hp_out, _synth_rows_needed(2 * hp_out - F + 2, F, sub))
+        nb = -(-rows_min // tmo)
+        wp_pad = max(-(-wp_out // 128) * 128,
+                     _synth_cols_needed(2 * wp_out - F + 2, F))
+    else:
+        nb = -(-hp_out // tmo)
+        wp_pad = -(-wp_out // _AOUT) * _AOUT
     lr = -(-(2 * tmo + F - 2) // sub) * sub
     rows_needed = 2 * tmo * (nb - 1) + lr
-    wp_pad = -(-wp_out // _AOUT) * _AOUT
     # lane width of the DMA'd band must be 128-aligned
     cols_needed = -(-(2 * wp_pad + F - 2) // 128) * 128
     xe = jnp.pad(xe, [(0, 0),
@@ -884,7 +962,8 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
         _analysis_kernel_ext(
             xe_hbm, ll.at[0], hl.at[0], lh.at[0], hh.at[0], band, sem,
             tmo=tmo, lr=lr, wp=wp_pad, F=F, lo_rev=lo_rev, hi_rev=hi_rev,
-            tref=tref, sub=sub)
+            tref=tref, sub=sub,
+            mask_shape=(hp_out, wp_out) if padded_out else None)
 
     ll, hl, lh, hh = pl.pallas_call(
         wrapped,
@@ -900,6 +979,8 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xe, jnp.asarray(T_np))
+    if padded_out:
+        return ll, hl, lh, hh
     return tuple(s[:, :hp_out, :wp_out] for s in (ll, hl, lh, hh))
 
 
@@ -1023,22 +1104,31 @@ def _synthesis2d_kernel_ext(ll_hbm, hl_hbm, lh_hbm, hh_hbm, sref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tno",
-                                             "interpret", "threshold_ll"))
+                                             "interpret", "threshold_ll",
+                                             "true_shape"))
 def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
                             mode: str = "symmetric", tno: int = 256,
                             interpret: bool | None = None,
-                            threshold=None, threshold_ll: bool = False):
+                            threshold=None, threshold_ll: bool = False,
+                            true_shape=None):
     """Single-level 2-D synthesis for NON-periodization modes from four
     (B, HC, WC) subbands -> (B, 2*HC - F + 2, 2*WC - F + 2) (pywt valid
     sizes), as one fused Pallas kernel.  ``threshold`` fuses |c|<thr->0
-    into the coefficient loads (LL too iff ``threshold_ll``)."""
+    into the coefficient loads (LL too iff ``threshold_ll``).
+
+    ``true_shape=(hc, wc)`` (static): the subbands' real extent when they
+    are tile-padded ``padded_out`` analysis outputs (pad cells are exact
+    zeros).  The kernel reads only rows/cols the valid outputs need, the
+    prep pads become no-ops, and the result stays TILE-PADDED (rows to the
+    grid band, lanes to 128) — callers slice at the very end."""
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     if mode == "periodization":
         return idwt2_level_pallas(ll, hl, lh, hh, wavelet,
                                   interpret=interpret, threshold=threshold,
                                   threshold_ll=threshold_ll)
-    B, HC, WC = ll.shape
+    B = ll.shape[0]
+    HC, WC = true_shape if true_shape is not None else ll.shape[1:]
     F = w.rec_len
     h_out = 2 * HC - F + 2
     w_out = 2 * WC - F + 2
@@ -1047,22 +1137,27 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
 
     sub = _sublane(ll.dtype)  # bf16 needs (16, 128) tile alignment
     # k0 = step * (tno // 2) must stay sub-aligned -> tno multiple of 2*sub
-    tno = min(tno, -(-h_out // (2 * sub)) * (2 * sub))
+    tno = min(tno, _synth_tno(h_out, sub))
     if tno % (2 * sub):
         tno = -(-tno // (2 * sub)) * (2 * sub)
     nb = -(-h_out // tno)
-    khalo = (F - 1) // 2
-    krows = -(-(tno // 2 + khalo) // sub) * sub
+    krows = -(-(tno // 2 + (F - 1) // 2) // sub) * sub
     rows_needed = (nb - 1) * (tno // 2) + krows
     wout_pad = -(-w_out // _MXU_OUT) * _MXU_OUT
     wv = 64 + (F - 1) // 2
     # lane width of the DMA'd coefficient bands must be 128-aligned
     cols_needed = -(-((wout_pad // _MXU_OUT - 1) * 64 + wv) // 128) * 128
 
+    # all four band DMAs share one VMEM buffer width, so pad every subband
+    # to a common lane extent (no-op zero-width pads for padded_out
+    # analysis outputs, which are sized to cols_needed already)
+    common_w = max(cols_needed, ll.shape[2], hl.shape[2], lh.shape[2],
+                   hh.shape[2])
+
     def prep(c):
         return jnp.pad(c, [(0, 0),
-                           (0, max(0, rows_needed - HC)),
-                           (0, max(0, cols_needed - WC))])
+                           (0, max(0, rows_needed - c.shape[1])),
+                           (0, common_w - c.shape[2])])
 
     ll, hl, lh, hh = (prep(c) for c in (ll, hl, lh, hh))
     S_np = _row_synthesis_matrices_valid(w, wv)
@@ -1102,33 +1197,70 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(ll, hl, lh, hh, jnp.asarray(S_np), *thr_args)
+    if true_shape is not None:
+        return out  # tile-padded; callers slice at the very end
     return out[:, :h_out, :w_out]
 
 
 def wavedec2_pallas_mode(x, wavelet: str, level: int,
                          mode: str = "symmetric",
-                         interpret: bool | None = None):
-    """Multi-level analysis for any boundary mode (pywt sizes per level)."""
+                         interpret: bool | None = None,
+                         padded: bool = False):
+    """Multi-level analysis for any boundary mode (pywt sizes per level).
+
+    ``padded=True``: keep every subband TILE-PADDED with exact zeros (see
+    ``dwt2_level_pallas_mode(padded_out=True)``) and return
+    ``(coeffs, true_shapes)`` where ``true_shapes`` is
+    ``[approx (h, w)] + [detail (h, w) coarse -> fine]`` aligned with the
+    coeffs list — the zero-materialized-copies prune pipeline."""
     if mode == "periodization":
+        assert not padded, "periodization subbands are tile-exact already"
         return wavedec2_pallas(x, wavelet, level, interpret)
     coeffs = []
     a = x
+    tshape = None
+    shapes = []
+    F = _as_wavelet(wavelet).dec_len
+    h, w = x.shape[1], x.shape[2]
     for _ in range(level):
-        ll, hl, lh, hh = dwt2_level_pallas_mode(a, wavelet, mode,
-                                                interpret=interpret)
+        ll, hl, lh, hh = dwt2_level_pallas_mode(
+            a, wavelet, mode, interpret=interpret,
+            true_shape=tshape, padded_out=padded)
         coeffs.append((hl, lh, hh))
         a = ll
+        h, w = (h + F - 1) // 2, (w + F - 1) // 2
+        shapes.append((h, w))
+        tshape = (h, w) if padded else None
+    if padded:
+        return [a] + coeffs[::-1], [shapes[-1]] + shapes[::-1]
     return [a] + coeffs[::-1]
 
 
 def waverec2_pallas_mode(coeffs, wavelet: str, mode: str = "symmetric",
-                         interpret: bool | None = None, threshold=None):
+                         interpret: bool | None = None, threshold=None,
+                         true_shapes=None):
     """Multi-level synthesis for any boundary mode; crops reconstruction
     overshoot between levels like pywt.waverec2.  ``threshold`` fuses the
     hard threshold into every stored-coefficient load (LL only at the
-    coarsest level)."""
+    coarsest level).
+
+    ``true_shapes`` (from ``wavedec2_pallas_mode(padded=True)``): the
+    subbands are tile-padded with exact zeros; each level reads only the
+    true extent (which also subsumes pywt's between-level overshoot crop)
+    and the result stays tile-padded — the caller crops once at the end."""
     if mode == "periodization":
         return waverec2_pallas(coeffs, wavelet, interpret, threshold)
+    if true_shapes is not None:
+        a = coeffs[0]
+        first = True
+        for (hl, lh, hh), tshape in zip(coeffs[1:], true_shapes[1:]):
+            a = idwt2_level_pallas_mode(
+                a, hl, lh, hh, wavelet, mode, interpret=interpret,
+                threshold=threshold,
+                threshold_ll=first and threshold is not None,
+                true_shape=tuple(tshape))
+            first = False
+        return a
     a = coeffs[0]
     first = True
     for (hl, lh, hh) in coeffs[1:]:

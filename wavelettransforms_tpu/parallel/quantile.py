@@ -343,7 +343,14 @@ def percentile_abs_pytree(tree, percentile, axis_name=None,
     (see ops/dwt_jax.mosaic_pad_count).  Zeros sort first in |·| order, so a
     padded rank j maps to the real order statistic j - pad_zeros (or to 0.0
     when j lands inside the padding) — exact parity with a percentile over
-    the padded mosaic, at zero HBM cost."""
+    the padded mosaic, at zero HBM cost.
+
+    ``pad_zeros`` may be NEGATIVE: when the leaves are tile-padded subbands
+    whose pad cells are physical EXACT zeros (filterbank ``padded_out``),
+    pass ``mosaic_pad - physical_pad``.  Both pad populations sort first
+    like any zero, so rank j over (real + mosaic) equals rank
+    j - mosaic + physical over (real + physical) — the same arithmetic,
+    signed."""
     leaves = jax.tree_util.tree_leaves(tree)
     n = total_size if total_size is not None else sum(l.size for l in leaves)
     n += pad_zeros

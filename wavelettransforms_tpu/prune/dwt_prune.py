@@ -89,17 +89,33 @@ def _dwt_prune_tensor_pallas(w, wavelet: str, level: int, percentile,
 
     lead = w.shape[:-2]
     x = w.reshape((-1,) + w.shape[-2:]).astype(coeff_dtype)
-    coeffs = fb.wavedec2_pallas_mode(x, wavelet, level, mode)
     # exact numpy-parity percentile via radix selection (a full sort of a
     # 16M-element array costs ~10x more than 32 bandwidth-bound count
     # passes); the reference percentile runs over the PADDED mosaic, so the
     # padding zeros enter the rank virtually (never materialized)
     pad = dj.mosaic_pad_count(w.shape[-2], w.shape[-1], wavelet, level,
                               mode) * x.shape[0]
-    thr = percentile_abs_pytree(coeffs, float(percentile), pad_zeros=pad)
-    # threshold is fused into the synthesis kernels' coefficient loads —
-    # thresholded coefficients never round-trip through HBM
-    rec = fb.waverec2_pallas_mode(coeffs, wavelet, mode, threshold=thr)
+    if mode == "periodization":
+        coeffs = fb.wavedec2_pallas_mode(x, wavelet, level, mode)
+        thr = percentile_abs_pytree(coeffs, float(percentile), pad_zeros=pad)
+        rec = fb.waverec2_pallas_mode(coeffs, wavelet, mode, threshold=thr)
+    else:
+        # valid-size modes: subbands stay TILE-PADDED with exact zeros end
+        # to end (no output slices, no count re-pads, no synthesis prep
+        # pads); the physical pad zeros trade against the mosaic padding in
+        # the rank (pad_zeros may go negative — zeros sort first either way)
+        coeffs, tshapes = fb.wavedec2_pallas_mode(x, wavelet, level, mode,
+                                                  padded=True)
+        true_total = x.shape[0] * (
+            tshapes[0][0] * tshapes[0][1]
+            + 3 * sum(h * w_ for h, w_ in tshapes[1:]))
+        phys = sum(l.size for l in jax.tree_util.tree_leaves(coeffs))
+        thr = percentile_abs_pytree(coeffs, float(percentile),
+                                    pad_zeros=pad - (phys - true_total))
+        # threshold is fused into the synthesis kernels' coefficient loads —
+        # thresholded coefficients never round-trip through HBM
+        rec = fb.waverec2_pallas_mode(coeffs, wavelet, mode, threshold=thr,
+                                      true_shapes=tshapes)
     for ax in (-2, -1):
         if rec.shape[ax] > w.shape[ax]:
             rec = jax.lax.slice_in_dim(rec, 0, w.shape[ax],
