@@ -138,10 +138,15 @@ def _row_analysis_matrices(w: Wavelet):
     return T
 
 
-def _row_pass_mxu(x, T, hp: int, bf16: bool = False):
+def _row_pass_mxu_prep(x, T, hp: int, bf16: bool = False):
     """Lane-axis analysis as banded block matmuls (MXU).  ``T`` is the fused
     (_AIN + 2*hp, 2*_AOUT) operator with lo taps in columns [:_AOUT] and hi
     taps in [_AOUT:] — one dot per block computes both subbands.
+
+    Returns ``blk(j0) -> (rows, 2*_AOUT)`` (lo block | hi block): callers
+    write each block straight to its output ref, keeping only one block
+    live at a time (bulk concats force the register allocator to spill —
+    measured 48M spill slots on a 512-row synthesis band).
 
     ``bf16`` uses native single-pass bf16 MXU dots (f32 accumulation) —
     ~6x fewer MXU passes than f32 HIGHEST; only for the bf16 lossy path."""
@@ -157,20 +162,18 @@ def _row_pass_mxu(x, T, hp: int, bf16: bool = False):
     if use_x3:
         eh, el = _split_bf16(ext)
         Th, Tl = _split_bf16(T)
-    los, his = [], []
-    for j0 in range(cols // _AIN):
+
+    def blk(j0):
         sl = lambda a: jax.lax.slice_in_dim(
             a, _AIN * j0, _AIN * j0 + _AIN + 2 * hp, axis=1)
         if use_x3:
-            both = (_dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl))
-        elif bf16:
-            both = _dot(sl(ext), T)
-        else:
-            both = jnp.dot(sl(ext), T, precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        los.append(both[:, :_AOUT])
-        his.append(both[:, _AOUT:])
-    return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+            return _dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl)
+        if bf16:
+            return _dot(sl(ext), T)
+        return jnp.dot(sl(ext), T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    return blk, cols // _AIN
 
 
 def _sublane(dtype) -> int:
@@ -240,15 +243,25 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     if tlo_ref is not None:
         T = tlo_ref[...]
         bf16 = jnp.dtype(ll_ref.dtype) == jnp.bfloat16
-        ll, lh = _row_pass_mxu(a0, T, halo, bf16)
-        hl, hh = _row_pass_mxu(d0, T, halo, bf16)
+        blk_a, nblk = _row_pass_mxu_prep(a0, T, halo, bf16)
+        blk_d, _ = _row_pass_mxu_prep(d0, T, halo, bf16)
+        # write each 64-wide block as it is produced (one block live at a
+        # time — bulk concats spill vector registers)
+        for j0 in range(nblk):
+            ds = pl.ds(j0 * _AOUT, _AOUT)
+            both = blk_a(j0)
+            ll_ref[:, ds] = both[:, :_AOUT].astype(ll_ref.dtype)
+            lh_ref[:, ds] = both[:, _AOUT:].astype(lh_ref.dtype)
+            both = blk_d(j0)
+            hl_ref[:, ds] = both[:, :_AOUT].astype(hl_ref.dtype)
+            hh_ref[:, ds] = both[:, _AOUT:].astype(hh_ref.dtype)
     else:
         ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
         hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
-    ll_ref[...] = ll.astype(ll_ref.dtype)
-    hl_ref[...] = hl.astype(hl_ref.dtype)
-    lh_ref[...] = lh.astype(lh_ref.dtype)
-    hh_ref[...] = hh.astype(hh_ref.dtype)
+        ll_ref[...] = ll.astype(ll_ref.dtype)
+        hl_ref[...] = hl.astype(hl_ref.dtype)
+        lh_ref[...] = lh.astype(lh_ref.dtype)
+        hh_ref[...] = hh.astype(hh_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret"))
@@ -467,11 +480,14 @@ def _row_synthesis_matrices(w: Wavelet, hpc: int):
     return S
 
 
-def _wsynth_mxu(a, d, S, hpc: int, bf16: bool = False):
-    """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> (R, 2WC).
-    ``S`` is the fused (2*(64+2*hpc), 128) operator (lo rows stacked over hi
-    rows) — one dot of concat([a_slice, d_slice]) per 128-wide out block.
-    ``bf16``: native single-pass bf16 dots for the lossy path."""
+def _wsynth_mxu_prep(a, d, S, hpc: int, bf16: bool = False):
+    """Lane-axis synthesis as banded block matmuls: (R, WC) x2 -> 128-wide
+    out blocks.  ``S`` is the fused (2*(64+2*hpc), 128) operator (lo rows
+    stacked over hi rows) — one dot of concat([a_slice, d_slice]) per block.
+    ``bf16``: native single-pass bf16 dots for the lossy path.
+
+    Returns ``(blk(j0), nblk)`` so the caller consumes one block at a time
+    (register-pressure: see _row_pass_mxu_prep)."""
     rows, wc = a.shape
     if bf16:
         a = a.astype(jnp.bfloat16)
@@ -484,24 +500,23 @@ def _wsynth_mxu(a, d, S, hpc: int, bf16: bool = False):
         ah, al = _split_bf16(a_ext)
         dh, dl = _split_bf16(d_ext)
         Sh, Sl = _split_bf16(S)
-    outs = []
     width = 64 + 2 * hpc
-    for j0 in range(2 * wc // _MXU_OUT):
+
+    def blk(j0):
         def blk_of(aa, dd):
             sa = jax.lax.slice_in_dim(aa, 64 * j0, 64 * j0 + width, axis=1)
             sd = jax.lax.slice_in_dim(dd, 64 * j0, 64 * j0 + width, axis=1)
             return jnp.concatenate([sa, sd], axis=1)
         if use_x3:
             bh = blk_of(ah, dh)
-            outs.append(_dot(bh, Sh) + _dot(blk_of(al, dl), Sh)
-                        + _dot(bh, Sl))
-        elif bf16:
-            outs.append(_dot(blk_of(a_ext, d_ext), S))
-        else:
-            outs.append(jnp.dot(blk_of(a_ext, d_ext), S,
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=1)
+            return _dot(bh, Sh) + _dot(blk_of(al, dl), Sh) + _dot(bh, Sl)
+        if bf16:
+            return _dot(blk_of(a_ext, d_ext), S)
+        return jnp.dot(blk_of(a_ext, d_ext), S,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    return blk, 2 * wc // _MXU_OUT
 
 
 def _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc: int, hl_n: int,
@@ -607,8 +622,18 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
     if slo_ref is not None:
         S = slo_ref[...]
         bf16 = jnp.dtype(out_ref.dtype) == jnp.bfloat16
-        a0 = _wsynth_mxu(rd(b_ll, False), rd(b_lh, True), S, hpc, bf16)
-        d0 = _wsynth_mxu(rd(b_hl, True), rd(b_hh, True), S, hpc, bf16)
+        blk_a, nblk = _wsynth_mxu_prep(rd(b_ll, False), rd(b_lh, True), S,
+                                       hpc, bf16)
+        blk_d, _ = _wsynth_mxu_prep(rd(b_hl, True), rd(b_hh, True), S,
+                                    hpc, bf16)
+        # per 128-col block: lane synthesis + row polyphase + write — one
+        # block live at a time
+        for j0 in range(nblk):
+            outb = _row_synth_polyphase(blk_a(j0), blk_d(j0), lo_rev,
+                                        hi_rev, tc, hl_n, off)
+            out_ref[:, pl.ds(j0 * _MXU_OUT, _MXU_OUT)] = outb.astype(
+                out_ref.dtype)
+        return
     else:
         def wsynth(a_band, d_band, a_detail):
             # transpose fallback: W on sublanes, upsample + circular ext +
@@ -779,24 +804,24 @@ def _row_analysis_matrices_valid(w: Wavelet):
     return T
 
 
-def _row_pass_valid_mxu(xe, T, F: int, out_cols: int):
+def _row_pass_valid_mxu_prep(xe, T, F: int, out_cols: int):
     """Lane-axis valid analysis as banded block matmuls; ``xe`` is already
-    extension-padded (width >= 2*out_cols + F - 2)."""
+    extension-padded (width >= 2*out_cols + F - 2).  Returns
+    ``(blk(j0) -> (rows, 2*_AOUT), nblk)`` — one live block at a time (see
+    _row_pass_mxu_prep)."""
     if _MXU_BF16X3:
         eh, el = _split_bf16(xe)
         Th, Tl = _split_bf16(T)
-    los, his = [], []
-    for j0 in range(out_cols // _AOUT):
+
+    def blk(j0):
         sl = lambda a: jax.lax.slice_in_dim(
             a, _AIN * j0, _AIN * j0 + _AIN + F - 2, axis=1)
         if _MXU_BF16X3:
-            both = _dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl)
-        else:
-            both = jnp.dot(sl(xe), T, precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        los.append(both[:, :_AOUT])
-        his.append(both[:, _AOUT:])
-    return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+            return _dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl)
+        return jnp.dot(sl(xe), T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    return blk, out_cols // _AOUT
 
 
 # Shared sizing helpers: the PADDED analysis output (``padded_out=True``)
@@ -865,23 +890,31 @@ def _analysis_kernel_ext(xe_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem,
     x = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
     a0, d0 = _col_pass(x, lo_rev, hi_rev, tmo)
     T = tref[...]
-    ll, lh = _row_pass_valid_mxu(a0, T, F, wp)
-    hl, hh = _row_pass_valid_mxu(d0, T, F, wp)
+    blk_a, nblk = _row_pass_valid_mxu_prep(a0, T, F, wp)
+    blk_d, _ = _row_pass_valid_mxu_prep(d0, T, F, wp)
     if mask_shape is not None:
         hp_out, wp_out = mask_shape
-        rowi = (jax.lax.broadcasted_iota(jnp.int32, (tmo, wp), 0)
+        rowi = (jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 0)
                 + i * tmo)
-        coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, wp), 1)
-        keep = (rowi < hp_out) & (coli < wp_out)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 1)
         zero = jnp.zeros((), jnp.float32)
-        ll = jnp.where(keep, ll, zero)
-        hl = jnp.where(keep, hl, zero)
-        lh = jnp.where(keep, lh, zero)
-        hh = jnp.where(keep, hh, zero)
-    ll_ref[...] = ll.astype(ll_ref.dtype)
-    hl_ref[...] = hl.astype(hl_ref.dtype)
-    lh_ref[...] = lh.astype(lh_ref.dtype)
-    hh_ref[...] = hh.astype(hh_ref.dtype)
+    # one 64-wide block live at a time (bulk concats spill registers)
+    for j0 in range(nblk):
+        ds = pl.ds(j0 * _AOUT, _AOUT)
+        both_a = blk_a(j0)
+        both_d = blk_d(j0)
+        ll, lh = both_a[:, :_AOUT], both_a[:, _AOUT:]
+        hl, hh = both_d[:, :_AOUT], both_d[:, _AOUT:]
+        if mask_shape is not None:
+            keep = (rowi < hp_out) & (coli + j0 * _AOUT < wp_out)
+            ll = jnp.where(keep, ll, zero)
+            hl = jnp.where(keep, hl, zero)
+            lh = jnp.where(keep, lh, zero)
+            hh = jnp.where(keep, hh, zero)
+        ll_ref[:, ds] = ll.astype(ll_ref.dtype)
+        hl_ref[:, ds] = hl.astype(hl_ref.dtype)
+        lh_ref[:, ds] = lh.astype(lh_ref.dtype)
+        hh_ref[:, ds] = hh.astype(hh_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tmo",
@@ -1001,28 +1034,28 @@ def _row_synthesis_matrices_valid(w: Wavelet, wv: int):
     return S
 
 
-def _wsynth_valid_mxu(a, d, S, wv: int, out_cols: int):
+def _wsynth_valid_mxu_prep(a, d, S, wv: int, out_cols: int):
     """Lane-axis valid synthesis as banded block matmuls; coefficient
-    arrays are tail-padded so every slice is in range."""
+    arrays are tail-padded so every slice is in range.  Returns
+    ``(blk(b0), nblk)`` — one live 128-wide block at a time."""
     if _MXU_BF16X3:
         ah, al = _split_bf16(a)
         dh, dl = _split_bf16(d)
         Sh, Sl = _split_bf16(S)
-    outs = []
-    for b0 in range(out_cols // _MXU_OUT):
+
+    def blk(b0):
         def blk_of(aa, dd):
             sa = jax.lax.slice_in_dim(aa, 64 * b0, 64 * b0 + wv, axis=1)
             sd = jax.lax.slice_in_dim(dd, 64 * b0, 64 * b0 + wv, axis=1)
             return jnp.concatenate([sa, sd], axis=1)
         if _MXU_BF16X3:
             bh = blk_of(ah, dh)
-            outs.append(_dot(bh, Sh) + _dot(blk_of(al, dl), Sh)
-                        + _dot(bh, Sl))
-        else:
-            outs.append(jnp.dot(blk_of(a, d), S,
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=1)
+            return _dot(bh, Sh) + _dot(blk_of(al, dl), Sh) + _dot(bh, Sl)
+        return jnp.dot(blk_of(a, d), S,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    return blk, out_cols // _MXU_OUT
 
 
 def _row_synth_polyphase_valid(a0, d0, lo_rev, hi_rev, tno: int):
@@ -1097,10 +1130,16 @@ def _synthesis2d_kernel_ext(ll_hbm, hl_hbm, lh_hbm, hh_hbm, sref, out_ref,
         return x
 
     S = sref[...]
-    a0 = _wsynth_valid_mxu(rd(b_ll, False), rd(b_lh, True), S, wv, wout)
-    d0 = _wsynth_valid_mxu(rd(b_hl, True), rd(b_hh, True), S, wv, wout)
-    out = _row_synth_polyphase_valid(a0, d0, lo_rev, hi_rev, tno)
-    out_ref[...] = out.astype(out_ref.dtype)
+    blk_a, nblk = _wsynth_valid_mxu_prep(rd(b_ll, False), rd(b_lh, True),
+                                         S, wv, wout)
+    blk_d, _ = _wsynth_valid_mxu_prep(rd(b_hl, True), rd(b_hh, True),
+                                      S, wv, wout)
+    # per 128-col block: lane synthesis + row polyphase + write
+    for b0 in range(nblk):
+        out = _row_synth_polyphase_valid(blk_a(b0), blk_d(b0), lo_rev,
+                                         hi_rev, tno)
+        out_ref[:, pl.ds(b0 * _MXU_OUT, _MXU_OUT)] = out.astype(
+            out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "mode", "tno",
