@@ -1,17 +1,26 @@
-"""On-TPU smoke test: Mosaic-lowered kernel correctness, warm-cache < 60 s.
+"""On-TPU smoke test: Mosaic-lowered kernel correctness + bench warm-up.
 
 CI runs the Pallas kernels in interpreter mode only (one-TPU-client
 constraint), so a Mosaic lowering regression would otherwise surface only in
-bench numbers.  This script executes every kernel family ON THE CHIP with
-correctness asserts vs the XLA engine, then (unless --quick) exercises the
-EXACT bench.py shapes (4096^2 bior4.4: one-program roundtrip, L4
-periodization prune, L4 symmetric prune) so a bench-section failure is
-reproduced here first and the compile cache is warmed for the driver.
+bench numbers.  Default invocation orchestrates TWO phases, each in its own
+subprocess (one TPU client at a time):
+
+  1. ``--correctness``: every kernel family ON THE CHIP with correctness
+     asserts vs the XLA engine (plus the 4096^2 bench-shape prune parity
+     checks);
+  2. every ``bench.py`` section (core/gang/prune/prune_sym/modes) via
+     ``bench.py --section X`` — the EXACT jitted programs the driver runs,
+     so any program the driver will compile is both validated and warmed
+     into the persistent cache here first.  (Round-3 lesson: the driver's
+     gang section died on a 302 s cold Mosaic compile that the builder's
+     smoke never exercised because it only covered similar-but-not-identical
+     programs.)
 
 Per-section wall times are printed — they are dominated by Mosaic compiles
 on a cold cache (remote-compile host: minutes) and should be single-digit
 seconds warm; a warm-cache regression means the persistent cache
-(.jax_cache, git-tracked) is being missed.
+(.jax_cache, git-tracked) is being missed.  After ANY kernel / quantile /
+prune-path change: run this, then ``git add -f .jax_cache``.
 
 Run ALONE (one TPU client):  python scripts/tpu_smoke.py [--quick]
 
@@ -117,8 +126,8 @@ def main(quick: bool = False):
           tol=1e-5)
 
     if not quick:
-        # exact bench.py shapes: reproduces (and cache-warms) every bench
-        # kernel program so a driver bench failure is caught here first
+        # 4096^2 bench-shape PARITY checks (the bench sections themselves
+        # only time; correctness of the big-shape programs is asserted here)
         section("bench shapes (4096^2)")
         NB = 4096
         xb = jnp.asarray(rng.standard_normal((1, NB, NB)).astype(np.float32))
@@ -156,5 +165,33 @@ def main(quick: bool = False):
     print(f"TPU smoke OK in {time.time()-t_start:.0f}s", flush=True)
 
 
+def orchestrate(quick: bool = False):
+    """Correctness phase + every bench.py section, one subprocess each
+    (one TPU client at a time).  Fails loudly on the first broken phase."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    phases = [("correctness", [sys.executable, __file__, "--correctness"]
+               + (["--quick"] if quick else []))]
+    if not quick:
+        phases += [(f"bench:{s}",
+                    [sys.executable, os.path.join(repo, "bench.py"),
+                     "--section", s])
+                   for s in ("core", "gang", "prune", "prune_sym", "modes")]
+    for name, cmd in phases:
+        t0 = time.time()
+        print(f"=== {name} ===", flush=True)
+        rc = subprocess.run(cmd, cwd=repo).returncode
+        print(f"=== {name}: rc={rc} in {time.time()-t0:.0f}s ===", flush=True)
+        if rc != 0:
+            sys.exit(f"phase {name} FAILED (rc={rc})")
+    print("ALL PHASES OK — compile cache covers every driver bench program; "
+          "remember: git add -f .jax_cache", flush=True)
+
+
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv[1:])
+    if "--correctness" in sys.argv[1:]:
+        main(quick="--quick" in sys.argv[1:])
+    else:
+        orchestrate(quick="--quick" in sys.argv[1:])

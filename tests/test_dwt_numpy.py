@@ -3,10 +3,90 @@ import numpy as np
 import pytest
 
 from wavelettransforms_tpu.ops import dwt_numpy as dn
-from wavelettransforms_tpu.wavelets import wavelist
+from wavelettransforms_tpu.wavelets import (REFERENCE_WAVELETS, get_wavelet,
+                                            wavelist)
 
 ALL_MODES = ["periodization", "symmetric", "zero", "reflect", "periodic",
              "constant"]
+
+
+# ---------------------------------------------------------------------------
+# Independent golden generator: direct convolution definition via np.pad +
+# np.convolve — shares NO code with dwt_numpy's dense-matrix construction
+# (_extension_indices / _analysis_matrices).  pywt semantics from first
+# principles:
+#   non-per:  c[k] = sum_j h[j] * padded[2k + F - j], padded = pad(x, F-1);
+#             i.e. full-convolution sample y[2k + F].
+#   per:      c[k] = sum_j h[j] * x'[(2k + F//2 - j) mod n'], x' = x with the
+#             last sample repeated when len(x) is odd; realized by tiling x'
+#             and sampling the full convolution at T + 2k + F//2 with T a
+#             multiple of n' at least F.
+# ---------------------------------------------------------------------------
+
+_NP_PAD = {"symmetric": "symmetric", "reflect": "reflect",
+           "periodic": "wrap", "constant": "edge"}
+
+
+def _golden_dwt(x, name: str, mode: str):
+    w = get_wavelet(name)
+    F = w.dec_len
+    if mode == "periodization":
+        x2 = np.concatenate([x, x[-1:]]) if len(x) % 2 else x
+        n2 = len(x2)
+        reps = -(-F // n2)  # ceil
+        T = reps * n2
+        xt = np.tile(x2, 2 * reps + 1)
+        cA = np.convolve(xt, w.dec_lo)[T + F // 2: T + F // 2 + n2: 2]
+        cD = np.convolve(xt, w.dec_hi)[T + F // 2: T + F // 2 + n2: 2]
+        return cA, cD
+    if mode == "zero":
+        ext = np.pad(x, F - 1)
+    else:
+        ext = np.pad(x, F - 1, mode=_NP_PAD[mode])
+    out_len = (len(x) + F - 1) // 2
+    cA = np.convolve(ext, w.dec_lo)[F::2][:out_len]
+    cD = np.convolve(ext, w.dec_hi)[F::2][:out_len]
+    return cA, cD
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+@pytest.mark.parametrize("name", REFERENCE_WAVELETS)
+def test_golden_independent_convolution(name, mode, rng):
+    """Every reference CLI wavelet x {periodization, symmetric} x odd/even
+    lengths: the dense-operator oracle equals the independent convolution-
+    definition generator.  A deliberate off-by-one in _extension_indices or
+    the periodization offset breaks this for every family."""
+    for n in (16, 17, 31, 32):
+        x = rng.standard_normal(n)
+        gA, gD = _golden_dwt(x, name, mode)
+        cA, cD = dn.dwt(x, name, mode)
+        np.testing.assert_allclose(cA, gA, atol=1e-10, err_msg=f"{name} {n}")
+        np.testing.assert_allclose(cD, gD, atol=1e-10, err_msg=f"{name} {n}")
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+def test_golden_independent_2d(mode, rng):
+    """2-D separable composition against the independent 1-D generator
+    (rows then columns, pywt subband order)."""
+    x = rng.standard_normal((9, 12))
+
+    def rows(f, a):
+        return np.stack([f(r) for r in a])
+
+    for name in ("bior4.4", "db2"):
+        a0 = rows(lambda r: _golden_dwt(r, name, mode)[0], x.T).T
+        d0 = rows(lambda r: _golden_dwt(r, name, mode)[1], x.T).T
+        want = {
+            "aa": rows(lambda r: _golden_dwt(r, name, mode)[0], a0),
+            "ad": rows(lambda r: _golden_dwt(r, name, mode)[1], a0),
+            "da": rows(lambda r: _golden_dwt(r, name, mode)[0], d0),
+            "dd": rows(lambda r: _golden_dwt(r, name, mode)[1], d0),
+        }
+        cA, (cH, cV, cD) = dn.dwt2(x, name, mode)
+        np.testing.assert_allclose(cA, want["aa"], atol=1e-10)
+        np.testing.assert_allclose(cH, want["da"], atol=1e-10)
+        np.testing.assert_allclose(cV, want["ad"], atol=1e-10)
+        np.testing.assert_allclose(cD, want["dd"], atol=1e-10)
 
 
 def test_haar_periodization_golden():

@@ -113,9 +113,12 @@ def test_sweep_cli_resume_and_aggregates(tmp_path):
     with open(prelim) as f:
         rows = list(csv.DictReader(f))
     # 2 thresholds x 3 methods, reference schema + ordering (desc threshold)
+    # plus the trailing truth-label column (synthetic-eval marker)
     assert len(rows) == 6
     assert list(rows[0]) == ["Threshold", "Model", "Accuracy", "F1 Score",
-                             "Recall", "Average Loss", "Sparsity"]
+                             "Recall", "Average Loss", "Sparsity",
+                             "Synthetic"]
+    assert all(r["Synthetic"] == "true" for r in rows)  # synthetic_eval run
     assert [r["Threshold"] for r in rows] == ["0.5"] * 3 + ["0.0"] * 3
     assert [r["Model"] for r in rows[:3]] == [
         "min_pruned", "random_pruned", "selective_pruned"]

@@ -276,6 +276,57 @@ def test_bf16x3_mxu_error_bound():
     assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
 
 
+def test_bf16x3_valid_mode_and_prune_threshold():
+    """Default bf16x3 strategy, the paths the single-wavelet test above does
+    not reach: the tile-padded valid-mode pipeline (analysis + fused-
+    threshold synthesis) and an END-TO-END prune — threshold selection must
+    match the exact-f32 engine to ~1e-4 relative and the reconstruction must
+    differ only at rare budget-boundary coefficient flips (same acceptance
+    as scripts/tpu_smoke.py uses on the chip).
+
+    Subprocess: conftest pins WTT_MXU_PRECISION=highest for exact-parity
+    tests; this runs the shipped default in a fresh interpreter.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platform_name', 'cpu')\n"
+        "from wavelettransforms_tpu.ops.pallas import filterbank as fb\n"
+        "from wavelettransforms_tpu.ops import dwt_jax as dj\n"
+        "from wavelettransforms_tpu.ops import threshold as th\n"
+        "assert fb._MXU_BF16X3, 'default strategy expected'\n"
+        "fb.INTERPRET = True  # force interpreter inside the prune path\n"
+        "from wavelettransforms_tpu.prune.dwt_prune import (\n"
+        "    _dwt_prune_tensor_pallas)\n"
+        "x = jnp.asarray(np.random.default_rng(1).standard_normal(\n"
+        "    (96, 192)).astype(np.float32))\n"
+        "out, thr = _dwt_prune_tensor_pallas(x, 'bior4.4', 2, 61.8,\n"
+        "                                    'symmetric')\n"
+        "coeffs = dj.wavedec2(x, 'bior4.4', 2, 'symmetric')\n"
+        "arr, slices = dj.coeffs_to_array(coeffs)\n"
+        "pr, thr_e = th.percentile_threshold(arr, 61.8)\n"
+        "rec = dj.waverec2(dj.array_to_coeffs(pr, slices), 'bior4.4',\n"
+        "                  'symmetric')\n"
+        "dthr = abs(float(thr) - float(thr_e))\n"
+        "assert dthr < 1e-4 * max(1.0, abs(float(thr_e))), \\\n"
+        "    (float(thr), float(thr_e))\n"
+        "diff = np.abs(np.asarray(out) - np.asarray(rec)[:96, :192])\n"
+        "flip = float((diff > 1e-3).mean())\n"
+        "bulk = float(np.quantile(diff, 0.999))\n"
+        "assert flip < 5e-3 and bulk < 2e-3, (flip, bulk)\n"
+        "print('bf16x3 valid-mode prune ok', dthr, flip, bulk)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("WTT_MXU_PRECISION", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
+
+
 @pytest.mark.parametrize("wav,lvl,mode", [
     ("db2", 3, "symmetric"), ("bior4.4", 2, "reflect"), ("haar", 2, "zero")])
 def test_padded_mode_pipeline_matches_unpadded(wav, lvl, mode, rng):

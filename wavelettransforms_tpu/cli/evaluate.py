@@ -58,7 +58,8 @@ def main(argv):
                               FLAGS.subset_size or None)
 
     results = evaluate_all(FLAGS.model_path, batches_factory,
-                           FLAGS.num_threads, FLAGS.timeout)
+                           FLAGS.num_threads, FLAGS.timeout,
+                           synthetic=bool(FLAGS.synthetic))
     logging.info("Evaluation complete for all models (%d).", len(results))
     return 0
 

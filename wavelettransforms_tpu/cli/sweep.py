@@ -54,19 +54,23 @@ def write_preliminary_results(path: str, rows: list[dict]) -> None:
     """Aggregate sweep CSV with the reference's exact schema
     (PreliminaryResults/Haar_Wavelet_Pruning_Metrics_Data_level_5.csv:
     Threshold,Model,Accuracy,F1 Score,Recall,Average Loss,Sparsity), ordered
-    threshold-descending / model-name-ascending like the reference."""
+    threshold-descending / model-name-ascending like the reference.
+
+    One extra trailing column, ``Synthetic``: ``true`` rows came from a
+    synthetic random-data eval (accuracy NOT ImageNet-comparable — never
+    diff those against BASELINE.md); absent/false rows are real-data."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rows = sorted(rows, key=lambda r: (-r["Threshold"], r["Model"]))
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=[
             "Threshold", "Model", "Accuracy", "F1 Score", "Recall",
-            "Average Loss", "Sparsity"])
+            "Average Loss", "Sparsity", "Synthetic"])
         w.writeheader()
         w.writerows(rows)
 
 
 def write_sweep_plot(path: str, rows: list[dict], wavelet: str,
-                     level: int) -> None:
+                     level: int, synthetic: bool = False) -> None:
     """Accuracy-vs-threshold figure (the reference's headline artifact:
     'Accuracy vs. Threshold for Selective Pruning (... Wavelet,
     Decomposition Level ...).png')."""
@@ -85,8 +89,12 @@ def write_sweep_plot(path: str, rows: list[dict], wavelet: str,
                     label=model)
     ax.set_xlabel("Threshold")
     ax.set_ylabel("Accuracy")
-    ax.set_title(f"Accuracy vs. Threshold for Selective Pruning "
-                 f"({wavelet} Wavelet, Decomposition Level {level})")
+    title = (f"Accuracy vs. Threshold for Selective Pruning "
+             f"({wavelet} Wavelet, Decomposition Level {level})")
+    if synthetic:
+        title += "\n[SYNTHETIC eval: random data / random-init weights — " \
+                 "not ImageNet-comparable]"
+    ax.set_title(title)
     ax.legend()
     ax.grid(True, alpha=0.3)
     fig.tight_layout()
@@ -129,8 +137,10 @@ def main(argv):
 
         if FLAGS.data_path:
             dataset = ImageNetFlatDataset(FLAGS.data_path)
+            synthetic = False
         else:
             dataset = SyntheticImageNet(FLAGS.synthetic_eval)
+            synthetic = True
 
         def batches():
             return batch_iterator(dataset, 64)
@@ -139,12 +149,13 @@ def main(argv):
         for t, guid in runs:
             run_dir = run_dir_for(FLAGS.output_dir, FLAGS.wavelet, t,
                                   FLAGS.level, guid)
-            for r in evaluate_all(run_dir, batches):
+            for r in evaluate_all(run_dir, batches, synthetic=synthetic):
                 agg_rows.append({
                     "Threshold": t, "Model": r.model_name,
                     "Accuracy": r.accuracy, "F1 Score": r.f1,
                     "Recall": r.recall, "Average Loss": r.avg_loss,
                     "Sparsity": r.sparsity,
+                    "Synthetic": "true" if synthetic else "false",
                 })
 
         wname = FLAGS.wavelet.capitalize()
@@ -158,7 +169,8 @@ def main(argv):
             FLAGS.output_dir,
             f"Accuracy vs. Threshold for Selective Pruning ({wname} "
             f"Wavelet, Decomposition Level {FLAGS.level}).png")
-        write_sweep_plot(plot, agg_rows, wname, FLAGS.level)
+        write_sweep_plot(plot, agg_rows, wname, FLAGS.level,
+                         synthetic=synthetic)
         logging.info("Sweep figure: %s", plot)
     return 0
 

@@ -47,6 +47,10 @@ class EvalResult:
     mean_batch_ms: float = 0.0
     model_size_mb: float = 0.0
     model_size_nnz_mb: float = 0.0
+    # True when the eval data is a synthetic stand-in (random images — NOT
+    # ImageNet); such accuracy columns must never be diffed against
+    # BASELINE.md's pretrained-weights numbers.
+    synthetic_eval: bool = False
 
 
 def evaluate_model(model, variables, batches):
@@ -113,8 +117,11 @@ def evaluate_model(model, variables, batches):
 
 
 def evaluate_checkpoint_dir(model_dir: str, batches_factory,
-                            write_artifacts: bool = True) -> EvalResult:
-    """Load an HF checkpoint dir, evaluate it, write metrics + plot."""
+                            write_artifacts: bool = True,
+                            synthetic: bool = False) -> EvalResult:
+    """Load an HF checkpoint dir, evaluate it, write metrics + plot.
+    ``synthetic`` marks the result (and metrics.txt) as a synthetic-data
+    run whose quality numbers are NOT ImageNet-comparable."""
     t0 = time.time()
     model_name = os.path.basename(os.path.normpath(model_dir))
     state = load_torch_state(model_dir)
@@ -131,7 +138,8 @@ def evaluate_checkpoint_dir(model_dir: str, batches_factory,
         images_per_s=timing["images_per_s"],
         mean_batch_ms=timing["mean_batch_ms"],
         model_size_mb=model_size_bytes(state, dense=True) / 1e6,
-        model_size_nnz_mb=model_size_bytes(state, dense=False) / 1e6)
+        model_size_nnz_mb=model_size_bytes(state, dense=False) / 1e6,
+        synthetic_eval=synthetic)
     if write_artifacts:
         write_metrics_file(model_dir, result)
         try:
@@ -159,6 +167,9 @@ def write_metrics_file(model_dir: str, r: EvalResult) -> str:
         f.write(f"Mean Batch Latency (ms): {r.mean_batch_ms:.3f}\n")
         f.write(f"Model Size (MB): {r.model_size_mb:.3f}\n")
         f.write(f"Model Size NNZ-compressed (MB): {r.model_size_nnz_mb:.3f}\n")
+        if r.synthetic_eval:
+            f.write("Synthetic Eval: true (random-data stand-in — quality "
+                    "numbers are NOT ImageNet-comparable)\n")
     return path
 
 
@@ -198,7 +209,8 @@ def create_and_save_plot(model_dir: str, r: EvalResult) -> str:
 
 
 def evaluate_all(parent_dir: str, batches_factory, num_threads: int = 4,
-                 timeout: float = 600.0) -> list[EvalResult]:
+                 timeout: float = 600.0,
+                 synthetic: bool = False) -> list[EvalResult]:
     """Evaluate every model subdirectory concurrently with per-model
     isolation and timeout (testing_suite/main.py:121-144)."""
     model_dirs = [os.path.join(parent_dir, d)
@@ -206,7 +218,8 @@ def evaluate_all(parent_dir: str, batches_factory, num_threads: int = 4,
                   if os.path.isdir(os.path.join(parent_dir, d))]
     results = []
     with ThreadPoolExecutor(max_workers=num_threads) as ex:
-        futures = {ex.submit(evaluate_checkpoint_dir, d, batches_factory): d
+        futures = {ex.submit(evaluate_checkpoint_dir, d, batches_factory,
+                             synthetic=synthetic): d
                    for d in model_dirs}
         for fut in as_completed(futures):
             d = futures[fut]

@@ -45,13 +45,31 @@ from ...wavelets import Wavelet, get_wavelet
 # Flip to True (e.g. in tests) to run kernels in interpreter mode off-TPU.
 INTERPRET = False
 
-# f32 MXU strategy for the banded filter-bank matmuls (read once at import;
-# WTT_MXU_PRECISION=bf16x3|highest).  HIGHEST = XLA's 6-pass bf16 emulation
-# (safest).  bf16x3 = manual hi/lo split, 3 native bf16 dots with f32
-# accumulation (xh@Th + xl@Th + xh@Tl, dropping the ~2^-16-relative xl@Tl
-# term) — half the MXU passes.  Mosaic does not lower Precision.HIGH, hence
-# the manual split.
+# f32 MXU strategy for the banded filter-bank matmuls (initialized from
+# WTT_MXU_PRECISION=bf16x3|highest at import).  HIGHEST = XLA's 6-pass bf16
+# emulation (safest).  bf16x3 = manual hi/lo split, 3 native bf16 dots with
+# f32 accumulation (xh@Th + xl@Th + xh@Tl, dropping the ~2^-16-relative
+# xl@Tl term) — half the MXU passes.  Mosaic does not lower Precision.HIGH,
+# hence the manual split.  To change at runtime use set_mxu_precision() —
+# mutating the env var after import is ignored (the flag is baked into
+# traced programs).
 _MXU_BF16X3 = os.environ.get("WTT_MXU_PRECISION", "bf16x3") != "highest"
+
+
+def set_mxu_precision(strategy: str) -> None:
+    """Switch the f32 MXU strategy ('bf16x3' | 'highest') at runtime.
+
+    Clears this module's jit caches so the next call re-traces with the new
+    strategy.  Programs jitted OUTSIDE this module that already inlined the
+    kernels (e.g. a caller's own jax.jit around a prune sweep) keep their
+    compiled precision — call this before building such programs."""
+    if strategy not in ("bf16x3", "highest"):
+        raise ValueError(f"unknown MXU precision strategy {strategy!r}")
+    global _MXU_BF16X3
+    _MXU_BF16X3 = strategy != "highest"
+    for fn in (dwt2_level_pallas, idwt_rows_pallas, idwt2_level_pallas,
+               dwt2_level_pallas_mode, idwt2_level_pallas_mode):
+        fn.clear_cache()
 
 
 def _split_bf16(x):
@@ -976,7 +994,11 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
                      _synth_cols_needed(2 * wp_out - F + 2, F))
     else:
         nb = -(-hp_out // tmo)
-        wp_pad = -(-wp_out // _AOUT) * _AOUT
+        # lane extent must be 128-aligned: Mosaic cannot slice a (8,128)-
+        # tiled VMEM window at a 64-only-aligned lane extent (the r3 driver
+        # bench died on memref_slice 2112-of-2176 at the 4096^2 bior4.4
+        # shape); the surplus 64 lanes are garbage sliced away below.
+        wp_pad = -(-wp_out // _MXU_OUT) * _MXU_OUT
     lr = -(-(2 * tmo + F - 2) // sub) * sub
     rows_needed = 2 * tmo * (nb - 1) + lr
     # lane width of the DMA'd band must be 128-aligned

@@ -119,15 +119,6 @@ class _AxisPlan:
                     "devices or levels")
 
 
-def _axis_plans(x_shape, axis_names, n_devs, level: int, F: int):
-    """(plan or None) per spatial axis (-2, -1)."""
-    plans = []
-    for sp_ax, name, nd in zip((-2, -1), axis_names, n_devs):
-        plans.append(None if name is None
-                     else _AxisPlan(x_shape[sp_ax], nd, level, F))
-    return plans
-
-
 # ---------------------------------------------------------------------------
 # 1-D sharded valid-mode passes (last axis)
 # ---------------------------------------------------------------------------
