@@ -58,6 +58,27 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def measure(fn, x, spread_out: list | None = None):
+    """chain_bench with one re-measure when the run is NOISY (spread > 50%
+    across slope repeats): a section that starts while the chip is still
+    draining the previous section's chains reads systematically slow (a
+    driver run recorded 16.8 ms for a 1.8 ms symmetric roundtrip).  Keeps
+    the faster median of the two runs."""
+    from wavelettransforms_tpu.utils.profiling import chain_bench
+
+    sp: list = []
+    t = retry(lambda: chain_bench(fn, x, spread_out=sp))
+    if sp[-1] > 0.5:
+        log(f"noisy measurement (spread {sp[-1]*100:.0f}%), re-measuring")
+        sp2: list = []
+        t2 = retry(lambda: chain_bench(fn, x, spread_out=sp2))
+        if t2 < t:
+            t, sp = t2, sp2
+    if spread_out is not None:
+        spread_out.append(sp[-1])
+    return t
+
+
 def retry(fn, attempts: int = 3, settle_s: float = 5.0):
     """Transient INVALID_ARGUMENT can happen when a new program
     remote-compiles while earlier chained launches drain; settle + retry.
@@ -134,8 +155,7 @@ def run_section(section: str) -> dict:
                 dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
         spreads = []
         t0 = time.time()
-        t_pallas = retry(lambda: chain_bench(roundtrip, x,
-                                             spread_out=spreads))
+        t_pallas = measure(roundtrip, x, spread_out=spreads)
         gbs = 2 * 2 * nbytes / t_pallas / 1e9
         log(f"fused roundtrip {WAVELET} L1 {N}^2: {t_pallas*1e3:.3f} ms "
             f"-> {gbs:.1f} GB/s (spread {spreads[-1]*100:.1f}%, "
@@ -147,7 +167,7 @@ def run_section(section: str) -> dict:
         xla_roundtrip = jax.jit(lambda v: dj.waverec2_packed(
             dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
         t0 = time.time()
-        t_xla = retry(lambda: chain_bench(xla_roundtrip, x))
+        t_xla = measure(xla_roundtrip, x)
         log(f"XLA-conv roundtrip: {t_xla*1e3:.3f} ms -> "
             f"{2*2*nbytes/t_xla/1e9:.1f} GB/s (setup {time.time()-t0:.0f}s)")
         detail["xla_conv_roundtrip_ms"] = round(t_xla * 1e3, 3)
@@ -168,23 +188,23 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_encode = retry(lambda: chain_bench(jax.jit(encode), tensors))
+        t_encode = measure(jax.jit(encode), tensors)
         log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
             f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
         detail["resnet18_checkpoint_encode_ms"] = round(t_encode * 1e3, 2)
 
         counts = tuple(int(np.prod(s) * 0.47808) for s in shapes)  # t=0.5
         t0 = time.time()
-        t_min = retry(lambda: chain_bench(
-            jax.jit(lambda ts: _gang_min(ts, counts)[0]), tensors))
+        t_min = measure(jax.jit(lambda ts: _gang_min(ts, counts)[0]),
+                        tensors)
         log(f"gang min-weight (20 layers, 47.8% budget): {t_min*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["min_weight_gang_ms"] = round(t_min * 1e3, 2)
 
         rkey = jax.random.PRNGKey(0)
         t0 = time.time()
-        t_rand = retry(lambda: chain_bench(
-            jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors))
+        t_rand = measure(
+            jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors)
         log(f"gang random (20 layers, matched counts): {t_rand*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["random_gang_ms"] = round(t_rand * 1e3, 2)
@@ -201,10 +221,25 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_prune = retry(lambda: chain_bench(prune_big, x2))
+        t_prune = measure(prune_big, x2)
         log(f"4096^2 L4 full prune: {t_prune*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
+
+        # ragged periodization (odd dims -> circular-extension valid-kernel
+        # path; the XLA fallback these shapes used to take is ~22x slower)
+        xr = x2[:-1, :-1]
+
+        @jax.jit
+        def prune_ragged(v):
+            out, _ = dwt_prune_tensor(v, WAVELET, 4, 50.0)
+            return out
+
+        t0 = time.time()
+        t_rag = measure(prune_ragged, xr)
+        log(f"4095^2 L4 ragged full prune: {t_rag*1e3:.2f} ms "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["ragged_prune_ms_4095x4095_L4"] = round(t_rag * 1e3, 2)
         return detail
 
     if section == "prune_sym":
@@ -221,7 +256,7 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_sym = retry(lambda: chain_bench(prune_big_sym, x2))
+        t_sym = measure(prune_big_sym, x2)
         log(f"4096^2 L4 symmetric full prune: {t_sym*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["symmetric_full_prune_ms_4096x4096_L4"] = round(t_sym * 1e3, 2)
@@ -238,7 +273,7 @@ def run_section(section: str) -> dict:
                 *s, WAVELET, "symmetric")[:, :N, :N]
 
         t0 = time.time()
-        t_sym = retry(lambda: chain_bench(rt_sym, x))
+        t_sym = measure(rt_sym, x)
         log(f"symmetric-mode roundtrip: {t_sym*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["symmetric_roundtrip_ms"] = round(t_sym * 1e3, 3)
@@ -250,7 +285,7 @@ def run_section(section: str) -> dict:
                 *fb.dwt2_level_pallas(v, WAVELET), WAVELET)
 
         t0 = time.time()
-        t_bf16 = retry(lambda: chain_bench(rt16, x16))
+        t_bf16 = measure(rt16, x16)
         log(f"bf16 roundtrip: {t_bf16*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["bf16_roundtrip_ms"] = round(t_bf16 * 1e3, 3)
@@ -304,7 +339,12 @@ def main():
         return result
 
     emit()  # a parseable line exists from second zero
-    for section in SECTIONS:
+    for i, section in enumerate(SECTIONS):
+        if i:
+            # settle: device work can outlive the previous section's client;
+            # a section that starts against a draining chip measures
+            # systematically slow (observed 9x on the symmetric roundtrip)
+            time.sleep(6)
         remaining = deadline - time.time()
         if remaining < MIN_SECTION_S:
             log(f"[{section}] SKIPPED ({remaining:.0f}s left "

@@ -134,23 +134,29 @@ def main(quick: bool = False):
         rt = jax.jit(lambda v: fb.idwt2_level_pallas(
             *fb.dwt2_level_pallas(v, wavelet), wavelet))
         check("bench roundtrip 4096^2", rt(xb), xb, tol=2e-4)
-        for mode, label in (("periodization", "bench prune L4"),
-                            ("symmetric", "bench prune_sym L4")):
+        for mode, label, xin in (
+                ("periodization", "bench prune L4", xb[0]),
+                ("symmetric", "bench prune_sym L4", xb[0]),
+                # ragged periodization: circular-extension valid-kernel path
+                ("periodization", "bench prune ragged L4",
+                 xb[0, :-1, :-1])):
             out, thr_b = jax.jit(
                 lambda v, m=mode: dwt_prune_tensor(v, wavelet, 4, 50.0,
-                                                   mode=m))(xb[0])
+                                                   mode=m))(xin)
             # XLA-engine oracle: same packed-mosaic percentile + synthesis.
             # Coefficients within ~5e-5 (bf16x3 noise) of the threshold flip
             # between the two paths, each flip perturbing the reconstruction
             # by O(threshold) locally — so assert flips are RARE and the
             # bulk of the field matches, not a max-error bound.
-            cs = dj.wavedec2(xb[0], wavelet, 4, mode)
+            cs = dj.wavedec2(xin, wavelet, 4, mode)
             ab, sb = dj.coeffs_to_array(cs)
             pb, te = th.percentile_threshold(ab, 50.0)
             rb = dj.waverec2(dj.array_to_coeffs(pb, sb), wavelet, mode)
             check(f"{label} threshold", thr_b.reshape(()), np.asarray(te),
                   tol=1e-4)
-            diff = np.abs(np.asarray(out) - np.asarray(rb)[..., :NB, :NB])
+            diff = np.abs(np.asarray(out)
+                          - np.asarray(rb)[..., :xin.shape[0],
+                                           :xin.shape[1]])
             flip_frac = float((diff > 1e-3).mean())
             bulk = float(np.quantile(diff, 0.999))
             # measured flip-frac ~7e-4 at the 50th pct (coefficient density

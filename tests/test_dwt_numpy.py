@@ -64,6 +64,20 @@ def test_golden_independent_convolution(name, mode, rng):
         np.testing.assert_allclose(cD, gD, atol=1e-10, err_msg=f"{name} {n}")
 
 
+@pytest.mark.parametrize("mode", ["zero", "reflect", "periodic", "constant"])
+@pytest.mark.parametrize("name", ["haar", "db4", "sym4", "coif2",
+                                  "bior4.4", "rbio2.2"])
+def test_golden_independent_other_modes(name, mode, rng):
+    """The remaining boundary modes against the same independent generator
+    (np.pad builds each extension with numpy's own semantics)."""
+    for n in (16, 17, 31):
+        x = rng.standard_normal(n)
+        gA, gD = _golden_dwt(x, name, mode)
+        cA, cD = dn.dwt(x, name, mode)
+        np.testing.assert_allclose(cA, gA, atol=1e-10, err_msg=f"{name} {n}")
+        np.testing.assert_allclose(cD, gD, atol=1e-10, err_msg=f"{name} {n}")
+
+
 @pytest.mark.parametrize("mode", ["periodization", "symmetric"])
 def test_golden_independent_2d(mode, rng):
     """2-D separable composition against the independent 1-D generator

@@ -358,3 +358,72 @@ def test_padded_mode_pipeline_matches_unpadded(wav, lvl, mode, rng):
     np.testing.assert_array_equal(
         np.asarray(rec_p)[:, :rec_u.shape[1], :rec_u.shape[2]],
         np.asarray(rec_u))
+
+
+def test_ragged_periodization_analysis_matches_engine(rng):
+    """Ragged (odd / non-128-aligned) PERIODIZATION shapes route through the
+    circular-extension valid kernels and must equal the engine exactly
+    (pywt ceil-half sizes, odd dims edge-repeated)."""
+    for shape in ((1, 37, 67), (2, 48, 96), (1, 41, 128)):
+        for wav in ("haar", "db2", "bior4.4"):
+            x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+            got = fb.dwt2_level_pallas_mode(x, wav, "periodization",
+                                            interpret=True)
+            cA, (cH, cV, cD) = dj.dwt2(x, wav, "periodization")
+            for name, a, b in zip("ll hl lh hh".split(), got,
+                                  (cA, cH, cV, cD)):
+                assert a.shape == b.shape, (shape, wav, name)
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=3e-5,
+                    err_msg=f"per-ragged {shape} {wav} {name}")
+
+
+def test_ragged_periodization_synthesis_roundtrip(rng):
+    """Wrap-padded valid synthesis == engine idwt2 for ragged periodization
+    subbands; roundtrip recovers the signal (even dims exactly; odd dims
+    after the standard crop)."""
+    for shape, wav in (((1, 37, 67), "db2"), ((2, 48, 96), "bior4.4"),
+                       ((1, 64, 64), "haar")):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ll, hl, lh, hh = fb.dwt2_level_pallas_mode(x, wav, "periodization",
+                                                   interpret=True)
+        got = fb.idwt2_level_pallas_mode(ll, hl, lh, hh, wav,
+                                         "periodization", interpret=True)
+        want = dj.idwt2((ll, (hl, lh, hh)), wav, "periodization")
+        assert got.shape == want.shape, (shape, wav)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=3e-5, err_msg=f"{shape} {wav}")
+        H, W = shape[1], shape[2]
+        np.testing.assert_allclose(np.asarray(got)[:, :H, :W],
+                                   np.asarray(x), rtol=0, atol=3e-5)
+
+
+def test_ragged_periodization_multilevel_prune_path(rng):
+    """Multi-level wavedec2/waverec2_pallas_mode over a ragged periodization
+    cascade (odd level-1, then even) matches the engine, including the
+    fused-threshold synthesis the prune pipeline uses."""
+    from wavelettransforms_tpu.ops import threshold as th
+
+    x = jnp.asarray(rng.standard_normal((1, 37, 67)).astype(np.float32))
+    wav, lvl = "db2", 2
+    coeffs = fb.wavedec2_pallas_mode(x, wav, lvl, "periodization",
+                                     interpret=True)
+    want = dj.wavedec2(x, wav, lvl, "periodization")
+    np.testing.assert_allclose(np.asarray(coeffs[0]), np.asarray(want[0]),
+                               rtol=0, atol=3e-5)
+    for (g1, g2, g3), (w1, w2, w3) in zip(coeffs[1:], want[1:]):
+        for a, b in ((g1, w1), (g2, w2), (g3, w3)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=3e-5)
+    thr = jnp.float32(0.6)
+    got = fb.waverec2_pallas_mode(coeffs, wav, "periodization",
+                                  interpret=True, threshold=thr)
+    import jax
+
+    pre = [jax.tree_util.tree_map(lambda c: th.hard_threshold(c, thr), lv)
+           for lv in want]
+    pre[0] = th.hard_threshold(want[0], thr)
+    rec = dj.waverec2(pre, wav, "periodization")
+    np.testing.assert_allclose(np.asarray(got)[:, :rec.shape[1],
+                                               :rec.shape[2]],
+                               np.asarray(rec), rtol=0, atol=1e-4)

@@ -263,16 +263,26 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
         bf16 = jnp.dtype(ll_ref.dtype) == jnp.bfloat16
         blk_a, nblk = _row_pass_mxu_prep(a0, T, halo, bf16)
         blk_d, _ = _row_pass_mxu_prep(d0, T, halo, bf16)
-        # write each 64-wide block as it is produced (one block live at a
-        # time — bulk concats spill vector registers)
-        for j0 in range(nblk):
-            ds = pl.ds(j0 * _AOUT, _AOUT)
-            both = blk_a(j0)
-            ll_ref[:, ds] = both[:, :_AOUT].astype(ll_ref.dtype)
-            lh_ref[:, ds] = both[:, _AOUT:].astype(lh_ref.dtype)
-            both = blk_d(j0)
-            hl_ref[:, ds] = both[:, :_AOUT].astype(hl_ref.dtype)
-            hh_ref[:, ds] = both[:, _AOUT:].astype(hh_ref.dtype)
+        # BULK concat + whole-ref writes: at the periodization band sizes
+        # (tm <= 256) the registers fit and Mosaic schedules the full-width
+        # vector stores ~20% faster than 64-wide block stores (the
+        # block-at-a-time form exists for the 512-row valid-mode synthesis
+        # bands, where bulk concats spill — measured 48M spill slots).
+        def bulk(blk):
+            los, his = [], []
+            for j0 in range(nblk):
+                both = blk(j0)
+                los.append(both[:, :_AOUT])
+                his.append(both[:, _AOUT:])
+            return (jnp.concatenate(los, axis=1),
+                    jnp.concatenate(his, axis=1))
+
+        ll, lh = bulk(blk_a)
+        hl, hh = bulk(blk_d)
+        ll_ref[...] = ll.astype(ll_ref.dtype)
+        lh_ref[...] = lh.astype(lh_ref.dtype)
+        hl_ref[...] = hl.astype(hl_ref.dtype)
+        hh_ref[...] = hh.astype(hh_ref.dtype)
     else:
         ll, lh = _row_pass(a0, lo_rev, hi_rev, halo)
         hl, hh = _row_pass(d0, lo_rev, hi_rev, halo)
@@ -644,13 +654,12 @@ def _synthesis2d_kernel(ll_hbm, hl_hbm, lh_hbm, hh_hbm, out_ref,
                                        hpc, bf16)
         blk_d, _ = _wsynth_mxu_prep(rd(b_hl, True), rd(b_hh, True), S,
                                     hpc, bf16)
-        # per 128-col block: lane synthesis + row polyphase + write — one
-        # block live at a time
-        for j0 in range(nblk):
-            outb = _row_synth_polyphase(blk_a(j0), blk_d(j0), lo_rev,
-                                        hi_rev, tc, hl_n, off)
-            out_ref[:, pl.ds(j0 * _MXU_OUT, _MXU_OUT)] = outb.astype(
-                out_ref.dtype)
+        # bulk concat + one polyphase over the full width (registers fit at
+        # periodization band sizes; see the analysis kernel note)
+        a0 = jnp.concatenate([blk_a(j0) for j0 in range(nblk)], axis=1)
+        d0 = jnp.concatenate([blk_d(j0) for j0 in range(nblk)], axis=1)
+        out_ref[...] = _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc,
+                                            hl_n, off).astype(out_ref.dtype)
         return
     else:
         def wsynth(a_band, d_band, a_detail):
@@ -804,6 +813,29 @@ _PAD_MODE = {
     "periodic": "wrap",
     "constant": "edge",
 }
+
+
+def _per_direct_ok(h: int, w_: int, F: int, synth_hc: int | None = None,
+                   sub: int = 8) -> bool:
+    """True when the DIRECT periodization kernels accept an (h, w_) input
+    efficiently (MXU row pass, aligned circular halo DMAs).  Everything
+    else routes through the circular-extension valid-kernel path."""
+    halo = F // 2 - 1
+    if h % 2 or w_ % 2 or w_ % _AIN:
+        return False
+    tm = 256 if h % 256 == 0 else min(128, h)
+    if h % tm or halo >= tm:
+        return False
+    if synth_hc is not None:
+        hc = synth_hc
+        tc = min(128, hc)
+        if hc % tc:
+            return False
+        off = F // 2
+        if (_aligned_halo((off + 1) // 2, sub) > hc
+                or _aligned_halo((F - off) // 2, sub) > hc):
+            return False
+    return True
 
 
 def _row_analysis_matrices_valid(w: Wavelet):
@@ -961,24 +993,45 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
     (quantile.percentile_abs_pytree ``pad_zeros``, which may go negative)."""
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
-    if mode == "periodization":
-        return dwt2_level_pallas(x, wavelet, interpret=interpret)
     B = x.shape[0]
     H, W = true_shape if true_shape is not None else x.shape[1:]
     F = w.dec_len
-    pad = F - 1
-    hp_out = (H + F - 1) // 2
-    wp_out = (W + F - 1) // 2
     lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
     hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
 
     xt = x[:, :H, :W] if x.shape[1:] != (H, W) else x
-    if mode == "zero":
-        ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)])
+    if mode == "periodization":
+        if _per_direct_ok(H, W, F) and xt is x:
+            return dwt2_level_pallas(x, wavelet, interpret=interpret)
+        # RAGGED periodization = circular VALID filter bank: pywt first
+        # edge-repeats odd dims to even (dwt_numpy._analysis_matrices), then
+        # a[k] = sum_j dec_rev[j] * xe[2k + j] with xe the wrap extension of
+        # F/2-1 samples per side — the same mode-agnostic valid kernel, so
+        # 4095^2 / 3000x5000 tensors stop falling back to the 22x-slower
+        # XLA path.
+        assert not padded_out, \
+            "tile-padded pipeline unsupported for ragged periodization"
+        if H % 2:
+            xt = jnp.concatenate([xt, xt[:, -1:, :]], axis=1)
+        if W % 2:
+            xt = jnp.concatenate([xt, xt[:, :, -1:]], axis=2)
+        p = F // 2 - 1
+        if p:
+            xe = jnp.pad(xt, [(0, 0), (p, p), (p, p)], mode="wrap")
+        else:
+            xe = xt
+        hp_out = (H + 1) // 2
+        wp_out = (W + 1) // 2
     else:
-        ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)],
-                      mode=_PAD_MODE[mode])
-    xe = ext[:, 1:, 1:]
+        pad = F - 1
+        hp_out = (H + F - 1) // 2
+        wp_out = (W + F - 1) // 2
+        if mode == "zero":
+            ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)])
+        else:
+            ext = jnp.pad(xt, [(0, 0), (pad, pad), (pad, pad)],
+                          mode=_PAD_MODE[mode])
+        xe = ext[:, 1:, 1:]
 
     sub = _sublane(x.dtype)  # bf16 needs (16, 128) tile alignment
     tmo = min(tmo, -(-hp_out // sub) * sub)
@@ -1185,9 +1238,41 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
     w = _as_wavelet(wavelet)
     interpret = INTERPRET if interpret is None else interpret
     if mode == "periodization":
-        return idwt2_level_pallas(ll, hl, lh, hh, wavelet,
-                                  interpret=interpret, threshold=threshold,
-                                  threshold_ll=threshold_ll)
+        HC_, WC_ = ll.shape[1:]
+        if (true_shape is None
+                and _per_direct_ok(2 * HC_, 2 * WC_, w.rec_len,
+                                   synth_hc=HC_,
+                                   sub=_sublane(ll.dtype))):
+            return idwt2_level_pallas(ll, hl, lh, hh, wavelet,
+                                      interpret=interpret,
+                                      threshold=threshold,
+                                      threshold_ll=threshold_ll)
+        # RAGGED periodization synthesis = VALID synthesis over WRAP-padded
+        # coefficients + a static output shift: x_per[i] equals the valid
+        # synthesis of the circular coefficient extension at padded output
+        # index i + 1 - F/2 + 2*p, with p = ceil((F/2 - 1)/2) wrap columns/
+        # rows per side (derivation mirrors dwt_numpy._synthesis_matrices).
+        assert true_shape is None, \
+            "tile-padded pipeline unsupported for ragged periodization"
+        F = w.rec_len
+        off = F // 2
+        p = (off - 1 + 1) // 2  # ceil((F/2 - 1) / 2)
+        start = 1 - off + 2 * p
+        n_h = 2 * ll.shape[1]
+        n_w = 2 * ll.shape[2]
+
+        def wrap2(c):
+            if p:
+                c = jnp.concatenate([c[:, -p:, :], c, c[:, :p, :]], axis=1)
+                c = jnp.concatenate([c[:, :, -p:], c, c[:, :, :p]], axis=2)
+            return c
+
+        out = idwt2_level_pallas_mode(
+            wrap2(ll), wrap2(hl), wrap2(lh), wrap2(hh), wavelet,
+            "symmetric",  # any valid-size mode: kernels are mode-agnostic
+            tno=tno, interpret=interpret, threshold=threshold,
+            threshold_ll=threshold_ll)
+        return out[:, start:start + n_h, start:start + n_w]
     B = ll.shape[0]
     HC, WC = true_shape if true_shape is not None else ll.shape[1:]
     F = w.rec_len
@@ -1273,10 +1358,21 @@ def wavedec2_pallas_mode(x, wavelet: str, level: int,
     ``dwt2_level_pallas_mode(padded_out=True)``) and return
     ``(coeffs, true_shapes)`` where ``true_shapes`` is
     ``[approx (h, w)] + [detail (h, w) coarse -> fine]`` aligned with the
-    coeffs list — the zero-materialized-copies prune pipeline."""
+    coeffs list — the zero-materialized-copies prune pipeline.
+
+    ``periodization`` routes per level: direct circular kernels for aligned
+    shapes, the circular-extension valid-kernel path for ragged ones (pywt
+    ceil-half sizes either way)."""
     if mode == "periodization":
         assert not padded, "periodization subbands are tile-exact already"
-        return wavedec2_pallas(x, wavelet, level, interpret)
+        coeffs = []
+        a = x
+        for _ in range(level):
+            ll, hl, lh, hh = dwt2_level_pallas_mode(a, wavelet, mode,
+                                                    interpret=interpret)
+            coeffs.append((hl, lh, hh))
+            a = ll
+        return [a] + coeffs[::-1]
     coeffs = []
     a = x
     tshape = None
@@ -1308,9 +1404,12 @@ def waverec2_pallas_mode(coeffs, wavelet: str, mode: str = "symmetric",
     ``true_shapes`` (from ``wavedec2_pallas_mode(padded=True)``): the
     subbands are tile-padded with exact zeros; each level reads only the
     true extent (which also subsumes pywt's between-level overshoot crop)
-    and the result stays tile-padded — the caller crops once at the end."""
-    if mode == "periodization":
-        return waverec2_pallas(coeffs, wavelet, interpret, threshold)
+    and the result stays tile-padded — the caller crops once at the end.
+
+    ``periodization`` uses the generic per-level loop below: aligned levels
+    redirect to the direct circular kernels, ragged levels take the
+    wrap-padded valid-synthesis path (between-level overshoot crop matches
+    pywt.waverec2 for odd cascades)."""
     if true_shapes is not None:
         a = coeffs[0]
         first = True

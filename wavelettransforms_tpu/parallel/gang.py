@@ -8,7 +8,6 @@ needs (the threshold semantics stay exactly one-threshold-per-tensor).
 """
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax
@@ -17,8 +16,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..prune.api import LayerPruneStats, PruneStats, is_conv_kernel
-from ..prune.dwt_prune import dwt_prune_tensor
-from ..ops import threshold as th
 
 logger = logging.getLogger(__name__)
 
@@ -36,18 +33,14 @@ def _channel_sharding(mesh: Mesh, shape, axis_name: str,
     return NamedSharding(mesh, P())
 
 
-# Module-level jit: re-invoking gang_encode_sharded with the same statics
-# and tensor shapes/shardings hits the trace cache instead of re-tracing the
-# whole multi-layer program per call.
-@functools.partial(jax.jit,
-                   static_argnames=("wavelet", "level", "mode", "percentile"))
-def _gang_encode_jit(tensors, wavelet, level, mode, percentile):
-    outs, zeros = [], []
-    for t in tensors:
-        pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
-        outs.append(pruned)
-        zeros.append(th.exact_zero_count(pruned))
-    return tuple(outs), tuple(zeros)
+# The sharded sweep runs the SAME jitted whole-checkpoint program as the
+# single-chip path (prune.dwt_prune._gang_encode): same-shape layer groups
+# share one merged lockstep percentile descent, so under GSPMD the
+# checkpoint costs ceil(32/d) combined collectives total instead of one
+# descent's worth per group (round-3 SCALING.json: 3.1x overhead at 8
+# devices from per-group psum rounds).  Module-level alias keeps the trace
+# cache shared across call sites.
+from ..prune.dwt_prune import _gang_encode as _gang_encode_jit  # noqa: E402
 
 
 def gang_encode_sharded(params: dict, wavelet: str, level: int,

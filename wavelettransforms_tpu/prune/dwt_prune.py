@@ -40,10 +40,11 @@ def _pallas_eligible(shape, mode: str, axes, level: int = 1,
                      wavelet: str = "bior4.4") -> bool:
     """Route big spatial tensors through the fused Pallas kernels on TPU.
 
-    Periodization: exact per-level kernel conditions — every level's input
-    must keep even dims, rows a multiple of the row tile (min(128, rows))
-    and lanes 128-aligned for the MXU row pass; these also guarantee zero
-    mosaic padding, so the subband multiset equals the packed mosaic.
+    Periodization: ANY level-size cascade — aligned levels run the direct
+    circular kernels, ragged (odd / non-128-aligned) ones the circular-
+    extension valid-kernel path (filterbank._per_direct_ok decides per
+    level), so 4095^2 / 3000x5000 tensors no longer fall back to the
+    22x-slower XLA conv path.
 
     Valid-size modes (symmetric/reflect/zero/periodic/constant): any level —
     the kernels pad to tiles internally, and the reference's mosaic-padding
@@ -64,13 +65,9 @@ def _pallas_eligible(shape, mode: str, axes, level: int = 1,
     F = get_wavelet(wavelet).dec_len
     if mode == "periodization":
         hl_, wl_ = h, w
-        for _ in range(level):
-            if hl_ % 2 or wl_ % 2:
-                return False
-            if hl_ % min(128, hl_) or wl_ % 128:
-                return False
-            hl_ //= 2
-            wl_ //= 2
+        for _ in range(level):  # pywt ceil-half cascade
+            hl_ = (hl_ + 1) // 2
+            wl_ = (wl_ + 1) // 2
         return min(hl_, wl_) >= 4 * F  # synthesis halo head-room
     if mode not in ("symmetric", "reflect", "zero", "periodic", "constant"):
         return False
@@ -199,16 +196,13 @@ def _gang_pallas_routed(t, wavelet: str, level: int, mode: str) -> bool:
 
 
 def _use_grouped_gang(tensors, wavelet: str, level: int, mode: str) -> bool:
-    """Route the whole-checkpoint sweep through the batched natural-layout
-    percentile descent: same-shape layers share one fused reduction per
-    descent step (parallel/quantile.percentile_abs_batched)."""
-    try:
-        import jax as _jax
-
-        if _jax.default_backend() != "tpu":
-            return False
-    except Exception:
-        return False
+    """Route the whole-checkpoint sweep through the merged lockstep
+    percentile descent: all shape groups advance together, one fused count
+    (and, sharded, one collective) per descent step
+    (parallel/quantile.percentile_abs_stacks).  Any backend: the batched
+    descent is bit-identical to the per-tensor path, and on a mesh it is
+    what keeps the sharded gang encode's collective count flat in the
+    number of layer groups."""
     eligible = [t for t in tensors
                 if not _gang_pallas_routed(t, wavelet, level, mode)
                 and t.dtype == jnp.float32]
@@ -219,11 +213,12 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
                          mode: str, percentile: float, out: list,
                          zeros: list, idxs_all: list):
     """Fused sweep: (1) forward transform per same-shape group (batched),
-    (2) one BATCHED radix descent per group computing every tensor's
-    independent global percentile (single fused reduction per step per
-    group), (3) threshold + inverse transform per group.  Bit-identical to
-    the per-tensor path."""
-    from ..parallel.quantile import percentile_abs_batched
+    (2) ONE merged lockstep radix descent across ALL groups computing every
+    tensor's independent global percentile (one fused count — and, sharded,
+    one collective — per descent step for the whole checkpoint), (3)
+    threshold + inverse transform per group.  Bit-identical to the
+    per-tensor path."""
+    from ..parallel.quantile import percentile_abs_stacks
 
     groups: dict = {}
     for i in idxs_all:
@@ -244,11 +239,16 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
             arr, slices = dj.coeffs_to_array(coeffs)
         mosaics[key] = (arr, slices, lvl)
 
-    # phases 2+3: per-group batched percentile, threshold + inverse
-    for key, idxs in groups.items():
+    # phase 2: one merged descent — every group's thresholds together
+    keys = list(groups.keys())
+    thrs = percentile_abs_stacks([mosaics[k][0] for k in keys],
+                                 float(percentile))
+
+    # phase 3: threshold + inverse per group
+    for key, tg in zip(keys, thrs):
+        idxs = groups[key]
         arr, slices, lvl = mosaics[key]
         g = arr.shape[0]
-        tg = percentile_abs_batched(arr, float(percentile))
         tb = tg.reshape((g,) + (1,) * (arr.ndim - 1))
         pruned_arr = jnp.where(jnp.abs(arr) < tb,
                                jnp.zeros((), arr.dtype), arr)
@@ -271,9 +271,10 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
                    static_argnames=("wavelet", "level", "mode", "percentile"))
 def _gang_encode(tensors: tuple, wavelet: str, level: int,
                  mode: str, percentile: float):
-    """Jitted whole-checkpoint sweep.  On TPU, all non-Pallas-routed layers
-    share one grouped percentile descent (per-layer thresholds stay exactly
-    independent); big spatial tensors use the fused filter-bank kernels."""
+    """Jitted whole-checkpoint sweep.  All non-Pallas-routed layers share
+    one merged lockstep percentile descent (per-layer thresholds stay
+    exactly independent); big spatial tensors use the fused filter-bank
+    kernels (TPU only)."""
     n = len(tensors)
     out: list = [None] * n
     zeros: list = [None] * n
