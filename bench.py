@@ -268,9 +268,15 @@ def run_section(section: str) -> dict:
         x = _big_input()
 
         def rt_sym(v):
-            s = fb.dwt2_level_pallas_mode(v, WAVELET, "symmetric")
-            return fb.idwt2_level_pallas_mode(
-                *s, WAVELET, "symmetric")[:, :N, :N]
+            # zero-copy tile-padded pipeline (the prune path's kernels):
+            # no subband slices / synthesis prep pads — measured 1.45 ms vs
+            # 1.83 for the plain mode path at this shape
+            coeffs, shapes = fb.wavedec2_pallas_mode(v, WAVELET, 1,
+                                                     "symmetric",
+                                                     padded=True)
+            out = fb.waverec2_pallas_mode(coeffs, WAVELET, "symmetric",
+                                          true_shapes=shapes)
+            return out[:, :N, :N]
 
         t0 = time.time()
         t_sym = measure(rt_sym, x)

@@ -427,3 +427,26 @@ def test_ragged_periodization_multilevel_prune_path(rng):
     np.testing.assert_allclose(np.asarray(got)[:, :rec.shape[1],
                                                :rec.shape[2]],
                                np.asarray(rec), rtol=0, atol=1e-4)
+
+
+def test_set_mxu_precision_runtime_toggle(rng):
+    """set_mxu_precision() re-traces: bf16x3 introduces ~1e-4-scale error vs
+    the exact engine, switching back to 'highest' restores exact parity
+    (ADVICE r3: the env var alone was a silent no-op after import)."""
+    x = jnp.asarray(rng.standard_normal((1, 128, 128)).astype(np.float32))
+    want = np.asarray(dj.dwt2(x, "bior4.4")[0])
+    assert not fb._MXU_BF16X3  # conftest pins WTT_MXU_PRECISION=highest
+    exact = np.max(np.abs(np.asarray(
+        fb.dwt2_level_pallas(x, "bior4.4", interpret=True)[0]) - want))
+    try:
+        fb.set_mxu_precision("bf16x3")
+        fast = np.max(np.abs(np.asarray(
+            fb.dwt2_level_pallas(x, "bior4.4", interpret=True)[0]) - want))
+    finally:
+        fb.set_mxu_precision("highest")
+    back = np.max(np.abs(np.asarray(
+        fb.dwt2_level_pallas(x, "bior4.4", interpret=True)[0]) - want))
+    assert exact < 5e-6 and back < 5e-6, (exact, back)
+    assert 1e-6 < fast < 5e-4, fast  # bf16x3 visibly lossier, still bounded
+    with pytest.raises(ValueError):
+        fb.set_mxu_precision("fp8")
