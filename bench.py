@@ -51,7 +51,11 @@ SECTIONS = ("core", "gang", "prune", "prune_sym", "modes")
 # burns budget that later sections could have used... except later sections
 # are cheaper, so the floor stays small to let warm-cache runs through).
 MIN_SECTION_S = 90.0
-MAX_SECTION_S = 560.0
+# Per-section cap: the remote Mosaic compile service re-loads kernels per
+# process with a heavy tail (observed 5 s .. >560 s for the same warm
+# program); 700 s covers the tail while the headline-first order keeps the
+# budget spent on the most important sections.
+MAX_SECTION_S = 700.0
 
 
 def log(*args):
@@ -227,16 +231,11 @@ def run_section(section: str) -> dict:
         detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
 
         # ragged periodization (odd dims -> circular-extension valid-kernel
-        # path; the XLA fallback these shapes used to take is ~22x slower)
+        # path; the XLA fallback these shapes used to take is ~22x slower);
+        # jit retraces prune_big per input shape, so the same wrapper serves
         xr = x2[:-1, :-1]
-
-        @jax.jit
-        def prune_ragged(v):
-            out, _ = dwt_prune_tensor(v, WAVELET, 4, 50.0)
-            return out
-
         t0 = time.time()
-        t_rag = measure(prune_ragged, xr)
+        t_rag = measure(prune_big, xr)
         log(f"4095^2 L4 ragged full prune: {t_rag*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
         detail["ragged_prune_ms_4095x4095_L4"] = round(t_rag * 1e3, 2)

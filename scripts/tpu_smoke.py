@@ -178,13 +178,16 @@ def orchestrate(quick: bool = False):
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import SECTIONS  # single source of truth for section names
+
     phases = [("correctness", [sys.executable, __file__, "--correctness"]
                + (["--quick"] if quick else []))]
     if not quick:
         phases += [(f"bench:{s}",
                     [sys.executable, os.path.join(repo, "bench.py"),
                      "--section", s])
-                   for s in ("core", "gang", "prune", "prune_sym", "modes")]
+                   for s in SECTIONS]
     for name, cmd in phases:
         t0 = time.time()
         print(f"=== {name} ===", flush=True)

@@ -219,3 +219,27 @@ def test_third_party_hf_checkpoint_numpy_forward(tmp_path, rng):
 
     np.testing.assert_array_equal(np.argmax(logits, -1), np.argmax(want, -1))
     np.testing.assert_allclose(logits, want, rtol=0, atol=5e-4)
+
+
+def test_bottleneck_family_roundtrip_and_forward(tmp_path, rng):
+    """ResNet-50-style bottleneck config: HF checkpoint round trip is exact
+    and the forward runs (the reference only used ResNet-18, but the eval
+    suite loads whatever config.json describes —
+    /root/reference/ResNet/testing_suite/utils.py:28-41)."""
+    cfg = ResNetConfig(hidden_sizes=(32, 64, 128, 256), embedding_size=16,
+                       depths=(1, 1, 1, 1), layer_type="bottleneck",
+                       num_labels=10)
+    ck = create_random_checkpoint(str(tmp_path / "b"), cfg, seed=4)
+    state = load_torch_state(ck)
+    # bottleneck blocks expose three conv layers + shortcut per block
+    assert any(".layer.2.convolution.weight" in k for k in state)
+    cfg2 = ResNetConfig.from_hf_dict(load_config(ck))
+    assert cfg2.layer_type == "bottleneck"
+    variables = torch_state_to_flax(state)
+    back = flax_to_torch_state(variables)
+    for k, v in state.items():
+        np.testing.assert_array_equal(np.asarray(back[k]), v, err_msg=k)
+    model = create_model(cfg2)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    logits = np.asarray(model.apply(variables, x))
+    assert logits.shape == (2, 10) and np.isfinite(logits).all()

@@ -450,3 +450,31 @@ def test_set_mxu_precision_runtime_toggle(rng):
     assert 1e-6 < fast < 5e-4, fast  # bf16x3 visibly lossier, still bounded
     with pytest.raises(ValueError):
         fb.set_mxu_precision("fp8")
+
+
+def test_set_mxu_precision_invalidates_gang_encode():
+    """The toggle must also clear the whole-checkpoint prune entry's jit
+    cache, or wavelet_pruning silently keeps the old precision (the exact
+    silent-no-op failure mode the API exists to fix)."""
+    from wavelettransforms_tpu.prune import dwt_prune
+
+    n0 = dwt_prune._gang_encode._cache_size()
+    fb.set_mxu_precision("highest")
+    assert dwt_prune._gang_encode._cache_size() == 0 or n0 == 0
+
+
+def test_ragged_periodization_bf16(rng):
+    """bf16 coefficients through the ragged periodization path (wrap
+    extension + valid kernels) — within bf16 tolerance of the f32 engine."""
+    x32 = rng.standard_normal((1, 41, 67)).astype(np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    subs = fb.dwt2_level_pallas_mode(x16, "db2", "periodization",
+                                     interpret=True)
+    want = dj.dwt2(jnp.asarray(x32), "db2", "periodization")
+    np.testing.assert_allclose(np.asarray(subs[0], np.float32),
+                               np.asarray(want[0]), rtol=0, atol=0.05)
+    rec = fb.idwt2_level_pallas_mode(*subs, "db2", "periodization",
+                                     interpret=True)
+    assert rec.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(rec, np.float32)[:, :41, :67],
+                               x32, rtol=0, atol=0.1)

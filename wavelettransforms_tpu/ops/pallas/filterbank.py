@@ -59,10 +59,12 @@ _MXU_BF16X3 = os.environ.get("WTT_MXU_PRECISION", "bf16x3") != "highest"
 def set_mxu_precision(strategy: str) -> None:
     """Switch the f32 MXU strategy ('bf16x3' | 'highest') at runtime.
 
-    Clears this module's jit caches so the next call re-traces with the new
-    strategy.  Programs jitted OUTSIDE this module that already inlined the
-    kernels (e.g. a caller's own jax.jit around a prune sweep) keep their
-    compiled precision — call this before building such programs."""
+    Clears this module's jit caches AND the framework's whole-checkpoint
+    prune entry (prune.dwt_prune._gang_encode) so the next call re-traces
+    with the new strategy.  Programs jitted OUTSIDE the framework that
+    already inlined the kernels (a caller's own jax.jit around a prune
+    sweep) keep their compiled precision — call this before building such
+    programs."""
     if strategy not in ("bf16x3", "highest"):
         raise ValueError(f"unknown MXU precision strategy {strategy!r}")
     global _MXU_BF16X3
@@ -70,6 +72,9 @@ def set_mxu_precision(strategy: str) -> None:
     for fn in (dwt2_level_pallas, idwt_rows_pallas, idwt2_level_pallas,
                dwt2_level_pallas_mode, idwt2_level_pallas_mode):
         fn.clear_cache()
+    from ...prune.dwt_prune import _gang_encode
+
+    _gang_encode.clear_cache()
 
 
 def _split_bf16(x):
