@@ -29,7 +29,13 @@ parent past the driver's own budget and the JSON was never printed):
     section (last line wins) and persisted to bench_partial.json, so a
     driver kill at any moment still leaves a parseable artifact.
   * Section order is headline-first: core -> gang -> prune -> prune_sym
-    -> modes.
+    -> modes -> eval.
+
+Measurement credibility (round-5 hardening): every row runs through
+``measure()`` — repeated spread-bounded chain_bench attempts with
+escalating settles, clean-attempt-priority minimum, and per-row spread (+
+per-attempt medians when a re-measure happened) emitted into ``detail`` so
+a contaminated row is self-labeling in the artifact.
 
 Timing method: chained data-dependent dispatch + host read with two-length
 slope (this host's tunnel makes block_until_ready unreliable; see
@@ -45,7 +51,7 @@ import time
 
 import numpy as np
 
-SECTIONS = ("core", "gang", "prune", "prune_sym", "modes")
+SECTIONS = ("core", "gang", "prune", "prune_sym", "modes", "eval")
 # Floor below which a section is skipped rather than started (a cold Mosaic
 # compile alone can take minutes; starting a section with <90s left only
 # burns budget that later sections could have used... except later sections
@@ -62,24 +68,53 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def measure(fn, x, spread_out: list | None = None):
-    """chain_bench with one re-measure when the run is NOISY (spread > 50%
-    across slope repeats): a section that starts while the chip is still
-    draining the previous section's chains reads systematically slow (a
-    driver run recorded 16.8 ms for a 1.8 ms symmetric roundtrip).  Keeps
-    the faster median of the two runs."""
+# Spread above which a measurement attempt is considered contaminated
+# (host/chip contention during the driver window); r04 recorded 126% on the
+# headline and 5-10x-slow `modes` rows that a single re-measure kept.
+TARGET_SPREAD = 0.20
+MAX_ATTEMPTS = 4
+
+
+def measure(fn, x, spread_out: list | None = None, row: str | None = None,
+            detail: dict | None = None):
+    """chain_bench repeated (up to MAX_ATTEMPTS, escalating settles) until
+    the slope spread across repeats is < TARGET_SPREAD.
+
+    Kept value: the MINIMUM median among CLEAN attempts (spread <= target)
+    when any exist, else the minimum median overall.  A contaminated
+    attempt's median can be spuriously FAST as well as slow (contention
+    during the short chain inflates its intercept and the slope can
+    undershoot), so a raw min-of-medians over noisy attempts is not
+    trustworthy — clean attempts take priority.
+
+    When ``row``/``detail`` are given the row value (ms), its spread (%)
+    and — if more than one attempt ran — every attempt's median are
+    recorded in ``detail`` so a contaminated row is self-labeling in the
+    driver artifact (BENCH_r*.json)."""
     from wavelettransforms_tpu.utils.profiling import chain_bench
 
-    sp: list = []
-    t = retry(lambda: chain_bench(fn, x, spread_out=sp))
-    if sp[-1] > 0.5:
-        log(f"noisy measurement (spread {sp[-1]*100:.0f}%), re-measuring")
-        sp2: list = []
-        t2 = retry(lambda: chain_bench(fn, x, spread_out=sp2))
-        if t2 < t:
-            t, sp = t2, sp2
+    attempts: list[tuple[float, float]] = []  # (median_s, spread)
+    for k in range(MAX_ATTEMPTS):
+        sp: list = []
+        t = retry(lambda: chain_bench(fn, x, spread_out=sp))
+        attempts.append((t, sp[-1]))
+        if sp[-1] <= TARGET_SPREAD:
+            break
+        if k < MAX_ATTEMPTS - 1:
+            settle = 5.0 * (k + 1)
+            log(f"noisy measurement (spread {sp[-1]*100:.0f}%), settling "
+                f"{settle:.0f}s and re-measuring")
+            time.sleep(settle)
+    clean = [a for a in attempts if a[1] <= TARGET_SPREAD]
+    t, spread = min(clean or attempts, key=lambda a: a[0])
     if spread_out is not None:
-        spread_out.append(sp[-1])
+        spread_out.append(spread)
+    if detail is not None and row:
+        detail[row] = round(t * 1e3, 3)
+        detail[row + "_spread_pct"] = round(spread * 100, 1)
+        if len(attempts) > 1:
+            detail[row + "_attempts_ms"] = [round(a[0] * 1e3, 3)
+                                            for a in attempts]
     return t
 
 
@@ -159,22 +194,22 @@ def run_section(section: str) -> dict:
                 dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
         spreads = []
         t0 = time.time()
-        t_pallas = measure(roundtrip, x, spread_out=spreads)
+        t_pallas = measure(roundtrip, x, spread_out=spreads,
+                           row="roundtrip_ms_4096x4096_bior44", detail=detail)
         gbs = 2 * 2 * nbytes / t_pallas / 1e9
         log(f"fused roundtrip {WAVELET} L1 {N}^2: {t_pallas*1e3:.3f} ms "
             f"-> {gbs:.1f} GB/s (spread {spreads[-1]*100:.1f}%, "
             f"setup {time.time()-t0:.0f}s)")
-        detail["roundtrip_ms_4096x4096_bior44"] = round(t_pallas * 1e3, 3)
         detail["roundtrip_gbs"] = round(gbs, 1)
         detail["roundtrip_spread_pct"] = round(spreads[-1] * 100, 1)
 
         xla_roundtrip = jax.jit(lambda v: dj.waverec2_packed(
             dj.wavedec2_packed(v[0], WAVELET, 1), WAVELET, 1, N, N)[None])
         t0 = time.time()
-        t_xla = measure(xla_roundtrip, x)
+        t_xla = measure(xla_roundtrip, x,
+                        row="xla_conv_roundtrip_ms", detail=detail)
         log(f"XLA-conv roundtrip: {t_xla*1e3:.3f} ms -> "
             f"{2*2*nbytes/t_xla/1e9:.1f} GB/s (setup {time.time()-t0:.0f}s)")
-        detail["xla_conv_roundtrip_ms"] = round(t_xla * 1e3, 3)
         return detail
 
     if section == "gang":
@@ -192,26 +227,25 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_encode = measure(jax.jit(encode), tensors)
+        t_encode = measure(jax.jit(encode), tensors,
+                           row="resnet18_checkpoint_encode_ms", detail=detail)
         log(f"gang encode (bior4.4 L5 t=0.5, all 20 layers): "
             f"{t_encode*1e3:.2f} ms (setup {time.time()-t0:.0f}s)")
-        detail["resnet18_checkpoint_encode_ms"] = round(t_encode * 1e3, 2)
 
         counts = tuple(int(np.prod(s) * 0.47808) for s in shapes)  # t=0.5
         t0 = time.time()
         t_min = measure(jax.jit(lambda ts: _gang_min(ts, counts)[0]),
-                        tensors)
+                        tensors, row="min_weight_gang_ms", detail=detail)
         log(f"gang min-weight (20 layers, 47.8% budget): {t_min*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["min_weight_gang_ms"] = round(t_min * 1e3, 2)
 
         rkey = jax.random.PRNGKey(0)
         t0 = time.time()
         t_rand = measure(
-            jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors)
+            jax.jit(lambda ts: _gang_random(rkey, ts, counts)[0]), tensors,
+            row="random_gang_ms", detail=detail)
         log(f"gang random (20 layers, matched counts): {t_rand*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["random_gang_ms"] = round(t_rand * 1e3, 2)
         return detail
 
     if section == "prune":
@@ -225,20 +259,20 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_prune = measure(prune_big, x2)
+        t_prune = measure(prune_big, x2,
+                          row="full_prune_ms_4096x4096_L4", detail=detail)
         log(f"4096^2 L4 full prune: {t_prune*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["full_prune_ms_4096x4096_L4"] = round(t_prune * 1e3, 2)
 
         # ragged periodization (odd dims -> circular-extension valid-kernel
         # path; the XLA fallback these shapes used to take is ~22x slower);
         # jit retraces prune_big per input shape, so the same wrapper serves
         xr = x2[:-1, :-1]
         t0 = time.time()
-        t_rag = measure(prune_big, xr)
+        t_rag = measure(prune_big, xr,
+                        row="ragged_prune_ms_4095x4095_L4", detail=detail)
         log(f"4095^2 L4 ragged full prune: {t_rag*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["ragged_prune_ms_4095x4095_L4"] = round(t_rag * 1e3, 2)
         return detail
 
     if section == "prune_sym":
@@ -255,10 +289,11 @@ def run_section(section: str) -> dict:
             return out
 
         t0 = time.time()
-        t_sym = measure(prune_big_sym, x2)
+        t_sym = measure(prune_big_sym, x2,
+                        row="symmetric_full_prune_ms_4096x4096_L4",
+                        detail=detail)
         log(f"4096^2 L4 symmetric full prune: {t_sym*1e3:.2f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["symmetric_full_prune_ms_4096x4096_L4"] = round(t_sym * 1e3, 2)
         return detail
 
     if section == "modes":
@@ -278,10 +313,10 @@ def run_section(section: str) -> dict:
             return out[:, :N, :N]
 
         t0 = time.time()
-        t_sym = measure(rt_sym, x)
+        t_sym = measure(rt_sym, x, row="symmetric_roundtrip_ms",
+                        detail=detail)
         log(f"symmetric-mode roundtrip: {t_sym*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["symmetric_roundtrip_ms"] = round(t_sym * 1e3, 3)
 
         x16 = x.astype(jnp.bfloat16)
 
@@ -290,10 +325,43 @@ def run_section(section: str) -> dict:
                 *fb.dwt2_level_pallas(v, WAVELET), WAVELET)
 
         t0 = time.time()
-        t_bf16 = measure(rt16, x16)
+        t_bf16 = measure(rt16, x16, row="bf16_roundtrip_ms", detail=detail)
         log(f"bf16 roundtrip: {t_bf16*1e3:.3f} ms "
             f"(setup {time.time()-t0:.0f}s)")
-        detail["bf16_roundtrip_ms"] = round(t_bf16 * 1e3, 3)
+        return detail
+
+    if section == "eval":
+        # chip-measured eval forward (the reference's second hot loop,
+        # /root/reference/ResNet/testing_suite/eval_model.py:32): jitted
+        # flax ResNet-18 inference throughput on a SYNTHETIC 224^2 batch
+        # (random init / random pixels — labeled; no pretrained weights or
+        # ImageNet are available offline).  The committed metrics files'
+        # 6.74 images/s figure is a CPU-backend run; this is the TPU number.
+        from wavelettransforms_tpu.models import create_model
+
+        model = create_model("resnet18")
+        batch = 64
+        rng = np.random.default_rng(7)
+        images = jnp.asarray(rng.standard_normal(
+            (batch, 224, 224, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+
+        @jax.jit
+        def fwd_chain(imgs):
+            logits = model.apply(variables, imgs)
+            # data-dependent, non-foldable feedback so chain_bench's
+            # dispatch chain forces every forward to execute
+            return imgs + jnp.tanh(jnp.sum(logits)) * 1e-12
+
+        t0 = time.time()
+        t_fwd = measure(fwd_chain, images,
+                        row="eval_forward_ms_per_batch64_224", detail=detail)
+        ips = batch / t_fwd
+        log(f"eval forward (ResNet-18, batch 64 @ 224^2, synthetic): "
+            f"{t_fwd*1e3:.2f} ms/batch -> {ips:.0f} images/s "
+            f"(setup {time.time()-t0:.0f}s)")
+        detail["eval_images_per_s_tpu"] = round(ips, 1)
+        detail["eval_forward_synthetic"] = True
         return detail
 
     raise SystemExit(f"unknown section {section!r}")
@@ -348,8 +416,10 @@ def main():
         if i:
             # settle: device work can outlive the previous section's client;
             # a section that starts against a draining chip measures
-            # systematically slow (observed 9x on the symmetric roundtrip)
-            time.sleep(6)
+            # systematically slow (observed 9x on the symmetric roundtrip).
+            # Later sections settle longer — r04's contaminated rows were
+            # all in the tail sections (modes: 5-10x slow vs warm smoke).
+            time.sleep(6 + 2 * i)
         remaining = deadline - time.time()
         if remaining < MIN_SECTION_S:
             log(f"[{section}] SKIPPED ({remaining:.0f}s left "

@@ -132,6 +132,24 @@ def test_sweep_cli_resume_and_aggregates(tmp_path):
         assert json.load(f) == done1
 
 
+def test_preliminary_results_real_data_schema(tmp_path):
+    """Real-data rows (no Synthetic key) keep the reference's exact
+    7-column schema — the truth-label column appears only for synthetic
+    evals (PreliminaryResults/..._level_5.csv header parity)."""
+    from wavelettransforms_tpu.cli.sweep import write_preliminary_results
+
+    path = str(tmp_path / "PreliminaryResults" / "out.csv")
+    write_preliminary_results(path, [
+        {"Threshold": 0.5, "Model": "selective_pruned", "Accuracy": 0.1,
+         "F1 Score": 0.1, "Recall": 0.1, "Average Loss": 2.0,
+         "Sparsity": 0.5},
+    ])
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert list(rows[0]) == ["Threshold", "Model", "Accuracy", "F1 Score",
+                             "Recall", "Average Loss", "Sparsity"]
+
+
 def test_log_worker(tmp_path):
     path = str(tmp_path / "log.csv")
     w = LogWorker(path)

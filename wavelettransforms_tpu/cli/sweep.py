@@ -56,15 +56,18 @@ def write_preliminary_results(path: str, rows: list[dict]) -> None:
     Threshold,Model,Accuracy,F1 Score,Recall,Average Loss,Sparsity), ordered
     threshold-descending / model-name-ascending like the reference.
 
-    One extra trailing column, ``Synthetic``: ``true`` rows came from a
-    synthetic random-data eval (accuracy NOT ImageNet-comparable — never
-    diff those against BASELINE.md); absent/false rows are real-data."""
+    Synthetic-eval rows carry one extra trailing column, ``Synthetic=true``
+    (accuracy NOT ImageNet-comparable — never diff those against
+    BASELINE.md).  Real-data runs omit the column entirely so the file stays
+    byte-compatible with the reference's exact 7-column schema."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rows = sorted(rows, key=lambda r: (-r["Threshold"], r["Model"]))
+    fields = ["Threshold", "Model", "Accuracy", "F1 Score", "Recall",
+              "Average Loss", "Sparsity"]
+    if any("Synthetic" in r for r in rows):
+        fields.append("Synthetic")
     with open(path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=[
-            "Threshold", "Model", "Accuracy", "F1 Score", "Recall",
-            "Average Loss", "Sparsity", "Synthetic"])
+        w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(rows)
 
@@ -150,13 +153,17 @@ def main(argv):
             run_dir = run_dir_for(FLAGS.output_dir, FLAGS.wavelet, t,
                                   FLAGS.level, guid)
             for r in evaluate_all(run_dir, batches, synthetic=synthetic):
-                agg_rows.append({
+                row = {
                     "Threshold": t, "Model": r.model_name,
                     "Accuracy": r.accuracy, "F1 Score": r.f1,
                     "Recall": r.recall, "Average Loss": r.avg_loss,
                     "Sparsity": r.sparsity,
-                    "Synthetic": "true" if synthetic else "false",
-                })
+                }
+                # truth label only on synthetic rows — real-data files keep
+                # the reference's exact 7-column schema
+                if synthetic:
+                    row["Synthetic"] = "true"
+                agg_rows.append(row)
 
         wname = FLAGS.wavelet.capitalize()
         prelim = os.path.join(
