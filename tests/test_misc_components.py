@@ -72,6 +72,62 @@ def test_gang_encode_sharded_matches_single(rng):
     assert s_stats.total_pruned == stats.total_pruned
 
 
+def test_gang_encode_sharded_awkward_tensors_bit_exact(rng):
+    """Tensors with NO mesh-divisible channel axis shard via pad-and-mask
+    (zero out-channels appended, percentile rank-shifted, output sliced
+    back); in-channel-divisible tensors shard on axis 1.  Nothing
+    replicates and every output is BIT-exact vs the unsharded encode
+    (VERDICT r4 item 6)."""
+    from wavelettransforms_tpu.parallel.gang import (_gang_sharding,
+                                                     gang_encode_sharded)
+    from wavelettransforms_tpu.parallel.mesh import make_mesh
+    from wavelettransforms_tpu.prune import wavelet_pruning
+
+    mesh = make_mesh({"data": 8})
+    params = {
+        # odd out-channels, in-channels not divisible -> pad-and-mask
+        "c.convolution.weight": rng.standard_normal((9, 4, 3, 3)).astype(np.float32),
+        # out not divisible, in divisible -> axis-1 sharding
+        "d.convolution.weight": rng.standard_normal((12, 8, 3, 3)).astype(np.float32),
+        # grouped with c (same padded shape is NOT required): even shard
+        "e.convolution.weight": rng.standard_normal((16, 4, 3, 3)).astype(np.float32),
+    }
+    sh_c, pad_c = _gang_sharding(mesh, (9, 4, 3, 3), "data")
+    assert pad_c == 7 and not sh_c.is_fully_replicated
+    sh_d, pad_d = _gang_sharding(mesh, (12, 8, 3, 3), "data")
+    assert pad_d == 0 and not sh_d.is_fully_replicated
+
+    sharded, s_stats = gang_encode_sharded(params, "haar", 1, 61.8, mesh)
+    single, stats = wavelet_pruning(params, "haar", 1, 61.8)
+    for k in params:
+        assert sharded[k].shape == params[k].shape
+        np.testing.assert_array_equal(
+            np.asarray(sharded[k]), np.asarray(single[k]),
+            err_msg=f"sharded != unsharded for {k}")
+    assert s_stats.total_pruned == stats.total_pruned
+    assert ([l.pruned_count for l in s_stats.layers]
+            == [l.pruned_count for l in stats.layers])
+
+
+def test_grouped_pad_rank_shift_matches_per_tensor(rng):
+    """percentile_abs_stacks pad_zeros: a slice with appended zero pad
+    elements yields the SAME threshold as the unpadded tensor (rank shift
+    over physical zeros), for fractional and integer ranks."""
+    from wavelettransforms_tpu.parallel.quantile import (
+        percentile_abs, percentile_abs_stacks)
+
+    x = rng.standard_normal((5, 7, 11)).astype(np.float32)
+    for q in (50.0, 61.8, 0.0, 100.0, 33.333):
+        want = percentile_abs(jnp.asarray(x), q)
+        for pad in (1, 8, 64):
+            xp = np.concatenate(
+                [x, np.zeros((pad, 7, 11), np.float32)])[None]
+            got = percentile_abs_stacks(
+                [jnp.asarray(xp)], q, pad_zeros=[[pad * 7 * 11]])[0][0]
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"q={q} pad={pad}")
+
+
 def test_prep_pipeline(tmp_path, rng):
     from wavelettransforms_tpu.data.imagenet import SyntheticImageNet
     from wavelettransforms_tpu.data.prep import load_preprocessed_batches

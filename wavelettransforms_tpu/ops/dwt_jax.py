@@ -48,22 +48,64 @@ def _as_wavelet(wavelet) -> Wavelet:
 # 1-D building blocks along the LAST axis
 # ---------------------------------------------------------------------------
 
+# Contraction length at or below which the dense-operator apply is unrolled
+# into elementwise multiply-adds instead of an einsum.  The gemm form's
+# accumulation REASSOCIATES with the collapsed batch extent (XLA CPU gemm
+# M-blocking: a zero-padded or differently-batched run of the same slice
+# drifts by 1 ulp in the M-remainder rows), while the unrolled form's
+# per-element numerics are identical for ANY batch shape — the pad-and-mask
+# channel-sharding fallback (parallel/gang._gang_sharding) relies on this
+# for bit-exactness vs the unsharded encode.  Conv kernels (1x1..8x8
+# spatial) all land here; larger tiny-axis tensors keep the einsum.
+_UNROLL_MAX_K = 8
+
+
+def _apply_operator_rows(x, A_np: np.ndarray):
+    """out[..., c] = sum_n A[c, n] * x[..., n] with STATIC filter constants
+    and a fixed left-to-right add chain per output — batch-shape-invariant
+    (see _UNROLL_MAX_K).  Zero taps (the operators are banded) are skipped."""
+    cols = []
+    zero = None
+    for c in range(A_np.shape[0]):
+        acc = None
+        for nn in range(A_np.shape[1]):
+            v = float(A_np[c, nn])
+            if v == 0.0:
+                continue
+            t = x[..., nn] * v
+            acc = t if acc is None else acc + t
+        if acc is None:
+            if zero is None:
+                zero = jnp.zeros(x.shape[:-1], x.dtype)
+            acc = zero
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
 def _dwt_last_matmul(x, w: Wavelet, mode: str):
     n = x.shape[-1]
     A_lo, A_hi = _ref._analysis_matrices(n, w.name, mode)
-    A = jnp.asarray(np.concatenate([A_lo, A_hi], axis=0), dtype=x.dtype)
-    y = jnp.einsum("...n,kn->...k", x, A, precision=lax.Precision.HIGHEST)
+    A_np = np.concatenate([A_lo, A_hi], axis=0)
     out = A_lo.shape[0]
+    if n <= _UNROLL_MAX_K:
+        y = _apply_operator_rows(x, A_np)
+    else:
+        A = jnp.asarray(A_np, dtype=x.dtype)
+        y = jnp.einsum("...n,kn->...k", x, A,
+                       precision=lax.Precision.HIGHEST)
     return y[..., :out], y[..., out:]
 
 
 def _idwt_last_matmul(cA, cD, w: Wavelet, mode: str):
     n = cA.shape[-1]
     S_lo, S_hi = _ref._synthesis_matrices(n, w.name, mode)
-    S = jnp.asarray(np.concatenate([S_lo, S_hi], axis=1), dtype=cA.dtype)
-    y = jnp.einsum("...k,nk->...n", jnp.concatenate([cA, cD], axis=-1), S,
-                   precision=lax.Precision.HIGHEST)
-    return y
+    S_np = np.concatenate([S_lo, S_hi], axis=1)
+    c = jnp.concatenate([cA, cD], axis=-1)
+    if 2 * n <= _UNROLL_MAX_K:
+        return _apply_operator_rows(c, S_np)
+    S = jnp.asarray(S_np, dtype=cA.dtype)
+    return jnp.einsum("...k,nk->...n", c, S,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _conv1d_last(x, filt, stride: int):

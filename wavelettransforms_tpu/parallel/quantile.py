@@ -147,7 +147,8 @@ def _kth_smallest_bits_pallas(bits_leaves, ks, interpret: bool = False,
     return t
 
 
-def percentile_abs_stacks(stacks, percentile, radix_bits: int | None = None):
+def percentile_abs_stacks(stacks, percentile, radix_bits: int | None = None,
+                          pad_zeros=None):
     """Exact np.percentile(|stack[g]|, percentile) independently for every
     slice of a LIST of stacks (one stack per same-shape layer group), all
     advanced in ONE lockstep radix descent.
@@ -161,17 +162,35 @@ def percentile_abs_stacks(stacks, percentile, radix_bits: int | None = None):
     3.1x overhead at 8 devices).  Sequential per-group descents also
     serialize on a single chip; lockstep frees XLA to fuse across groups.
 
+    ``pad_zeros`` (optional, static): one (G_i,)-sequence of ints per stack
+    — the number of PHYSICAL zero-pad elements inside slice g (the
+    pad-and-mask channel-sharding fallback appends zero out-channels so an
+    awkward tensor can still shard over the mesh).  Slice g's percentile is
+    then taken over its true n - pad[g] elements: pad zeros sort first in
+    |.| order, so the true k-th order statistic is the padded (k + pad[g])-
+    th — the rank shift keeps the result bit-identical to the unpadded
+    tensor's percentile.
+
     Returns a list of (G_i,) float32 threshold vectors, bit-identical to
     per-stack ``percentile_abs_batched`` / per-slice ``percentile_abs``."""
+    import numpy as np
+
     d = NATURAL_RADIX_BITS if radix_bits is None else radix_bits
-    metas = []  # per stack: (g, frac, ks (2,), bits)
-    for st in stacks:
+    metas = []  # per stack: (g, fracs (G,) np, ks (G, 2), bits)
+    for si, st in enumerate(stacks):
         g = st.shape[0]
         n = st.size // g
-        rank = _numpy_rank(float(percentile), n, st.dtype)
-        k = int(rank)
-        metas.append((g, rank - k,
-                      jnp.asarray([k, min(k + 1, n - 1)], jnp.int32),
+        pads = ([0] * g if pad_zeros is None or pad_zeros[si] is None
+                else list(pad_zeros[si]))
+        ks = np.zeros((g, 2), np.int32)
+        fracs = np.zeros((g,), np.float64)
+        for gi, pad in enumerate(pads):
+            nt = n - int(pad)  # true element count of this slice
+            rank = _numpy_rank(float(percentile), nt, st.dtype)
+            k = int(rank)
+            fracs[gi] = rank - k
+            ks[gi] = (k + pad, min(k + 1, nt - 1) + pad)
+        metas.append((g, fracs, jnp.asarray(ks),
                       lax.bitcast_convert_type(
                           jnp.abs(st.astype(jnp.float32)), jnp.uint32)))
     ts = [jnp.zeros((m[0], 2), jnp.uint32) for m in metas]
@@ -181,7 +200,7 @@ def percentile_abs_stacks(stacks, percentile, radix_bits: int | None = None):
         pos -= width
         ms = jnp.arange(1, 1 << width, dtype=jnp.uint32)
         new_ts = []
-        for t, (g, _frac, ks, bits) in zip(ts, metas):
+        for t, (g, _fracs, ks, bits) in zip(ts, metas):
             cand = t[:, :, None] | (ms[None, None, :] << jnp.uint32(pos))
             flat = cand.reshape(g, -1)  # (G, C)
             bflat = flat.reshape((g,) + (1,) * (bits.ndim - 1)
@@ -189,23 +208,25 @@ def percentile_abs_stacks(stacks, percentile, radix_bits: int | None = None):
             cnt = jnp.sum(bits[..., None] < bflat,
                           axis=tuple(range(1, bits.ndim))).astype(
                               jnp.int32)  # (G, C)
-            keep = cnt.reshape(cand.shape) <= ks[None, :, None]
+            keep = cnt.reshape(cand.shape) <= ks[:, :, None]
             new_ts.append(jnp.max(jnp.where(keep, cand, t[:, :, None]),
                                   axis=2))
         ts = new_ts
     outs = []
-    for t, (_g, frac, _ks, _bits) in zip(ts, metas):
+    for t, (_g, fracs, _ks, _bits) in zip(ts, metas):
         v = _bits_to_float(t)  # (G, 2)
-        if frac == 0.0:
+        if np.all(fracs == 0.0):
             outs.append(v[:, 0])
             continue
         a, b = v[:, 0], v[:, 1]
-        tt = v.dtype.type(frac)
         diff = b - a
-        if frac >= 0.5:
-            outs.append(b - diff * (v.dtype.type(1) - tt))
-        else:
-            outs.append(a + diff * tt)
+        tt = jnp.asarray(fracs.astype(np.float32))
+        # numpy _lerp's two-sided formula, vectorized with STATIC per-slice
+        # branch selection (frac is compile-time) — bit-identical to the
+        # scalar _numpy_lerp per slice
+        hi = jnp.asarray(fracs >= 0.5)
+        lerp = jnp.where(hi, b - diff * (jnp.float32(1) - tt), a + diff * tt)
+        outs.append(jnp.where(jnp.asarray(fracs == 0.0), a, lerp))
     return outs
 
 

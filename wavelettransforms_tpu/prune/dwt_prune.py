@@ -211,19 +211,32 @@ def _use_grouped_gang(tensors, wavelet: str, level: int, mode: str) -> bool:
 
 def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
                          mode: str, percentile: float, out: list,
-                         zeros: list, idxs_all: list):
+                         zeros: list, idxs_all: list,
+                         true_dim0: tuple | None = None):
     """Fused sweep: (1) forward transform per same-shape group (batched),
     (2) ONE merged lockstep radix descent across ALL groups computing every
     tensor's independent global percentile (one fused count — and, sharded,
     one collective — per descent step for the whole checkpoint), (3)
     threshold + inverse transform per group.  Bit-identical to the
-    per-tensor path."""
+    per-tensor path.
+
+    ``true_dim0[i]`` (static, optional): the tensor's REAL axis-0 extent
+    when it was zero-padded on its out-channel axis so an awkward shape
+    could still shard over a mesh (parallel/gang pad-and-mask fallback).
+    The pad rows' coefficients are exact zeros (the transform is linear),
+    so they enter the percentile as a per-slice rank shift
+    (quantile.percentile_abs_stacks ``pad_zeros``) and the output is
+    sliced back — bit-identical to encoding the unpadded tensor."""
     from ..parallel.quantile import percentile_abs_stacks
 
     groups: dict = {}
     for i in idxs_all:
         t = tensors[i]
         groups.setdefault((t.shape, str(t.dtype)), []).append(i)
+
+    def _true_d0(i):
+        td = None if true_dim0 is None else true_dim0[i]
+        return tensors[i].shape[0] if td is None else td
 
     # phase 1: mosaics
     mosaics = {}   # group key -> (arr, slices_or_None, lvl)
@@ -239,10 +252,22 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
             arr, slices = dj.coeffs_to_array(coeffs)
         mosaics[key] = (arr, slices, lvl)
 
-    # phase 2: one merged descent — every group's thresholds together
+    # phase 2: one merged descent — every group's thresholds together,
+    # with per-slice rank shifts for pad-and-mask zero rows (the mosaic
+    # size scales linearly in the axis-0 extent, so a padded slice holds
+    # exactly (d0 - true_d0)/d0 of its mosaic as physical zeros)
     keys = list(groups.keys())
+    pads = []
+    for k in keys:
+        d0 = k[0][0] if len(k[0]) >= 1 else 1
+        arr = mosaics[k][0]
+        per_slice = arr.size // arr.shape[0]
+        pads.append([per_slice // d0 * (d0 - _true_d0(i))
+                     for i in groups[k]])
+    if not any(any(p) for p in pads):
+        pads = None
     thrs = percentile_abs_stacks([mosaics[k][0] for k in keys],
-                                 float(percentile))
+                                 float(percentile), pad_zeros=pads)
 
     # phase 3: threshold + inverse per group
     for key, tg in zip(keys, thrs):
@@ -263,23 +288,40 @@ def _gang_encode_grouped(tensors: tuple, wavelet: str, level: int,
                 if rec.shape[axp] > shape[ax]:
                     rec = jax.lax.slice_in_dim(rec, 0, shape[ax], axis=axp)
         for j, i in enumerate(idxs):
-            out[i] = rec[j].astype(tensors[i].dtype)
+            r = rec[j]
+            td = _true_d0(i)
+            if td != r.shape[0]:  # pad-and-mask: slice the zero rows away
+                r = jax.lax.slice_in_dim(r, 0, td, axis=0)
+            out[i] = r.astype(tensors[i].dtype)
             zeros[i] = th.exact_zero_count(out[i])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wavelet", "level", "mode", "percentile"))
+                   static_argnames=("wavelet", "level", "mode", "percentile",
+                                    "true_dim0"))
 def _gang_encode(tensors: tuple, wavelet: str, level: int,
-                 mode: str, percentile: float):
+                 mode: str, percentile: float,
+                 true_dim0: tuple | None = None):
     """Jitted whole-checkpoint sweep.  All non-Pallas-routed layers share
     one merged lockstep percentile descent (per-layer thresholds stay
     exactly independent); big spatial tensors use the fused filter-bank
-    kernels (TPU only)."""
+    kernels (TPU only).
+
+    ``true_dim0`` (static): per-tensor real axis-0 extents for tensors the
+    sharded gang path zero-padded on their out-channel axis (pad-and-mask
+    fallback); ``None`` entries mean unpadded.  Padded tensors route
+    through the grouped path, which rank-shifts the percentile and slices
+    the pad rows back off — bit-identical to the unpadded encode."""
     n = len(tensors)
     out: list = [None] * n
     zeros: list = [None] * n
 
-    use_grouped = _use_grouped_gang(tensors, wavelet, level, mode)
+    def _padded(i):
+        return (true_dim0 is not None and true_dim0[i] is not None
+                and true_dim0[i] != tensors[i].shape[0])
+
+    use_grouped = (_use_grouped_gang(tensors, wavelet, level, mode)
+                   or any(_padded(i) for i in range(n)))
     grouped_idxs = []
     for i, t in enumerate(tensors):
         if (use_grouped
@@ -287,12 +329,18 @@ def _gang_encode(tensors: tuple, wavelet: str, level: int,
                 and t.dtype == jnp.float32):
             grouped_idxs.append(i)
         else:
+            if _padded(i):
+                raise NotImplementedError(
+                    "pad-and-mask sharding is only supported for tensors "
+                    "on the grouped (f32, non-Pallas-routed) encode path; "
+                    f"tensor {i} shape {tensors[i].shape} "
+                    f"dtype {tensors[i].dtype}")
             pruned, _ = dwt_prune_tensor(t, wavelet, level, percentile, mode)
             out[i] = pruned
             zeros[i] = th.exact_zero_count(pruned)
     if grouped_idxs:
         _gang_encode_grouped(tensors, wavelet, level, mode, percentile,
-                             out, zeros, grouped_idxs)
+                             out, zeros, grouped_idxs, true_dim0)
     return tuple(out), tuple(zeros)
 
 
