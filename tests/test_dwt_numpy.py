@@ -103,6 +103,197 @@ def test_golden_independent_2d(mode, rng):
         np.testing.assert_allclose(cD, want["dd"], atol=1e-10)
 
 
+def _golden_idwt(cA, cD, name: str, mode: str):
+    """Independent synthesis via np.convolve (first-principles pywt
+    definition, no dwt_numpy code):
+      non-per:  x[i] = sum_m u[m] * rec[i - m + F - 2]
+                     = convolve(u, rec)[i + F - 2], i < 2n - F + 2;
+      per:      x[t] = sum_j rec_rev[j] * u[(t + j - F//2) mod N]
+                     = convolve(tile(u), rec)[T + t + F - 1 - F//2],
+                with u the zero-interleaved upsampling, N = 2n, T = reps*N.
+    """
+    w = get_wavelet(name)
+    F = w.rec_len
+    n = len(cA)
+
+    def up(c):
+        u = np.zeros(2 * n)
+        u[::2] = c
+        return u
+
+    ua, ud = up(cA), up(cD)
+    if mode == "periodization":
+        N = 2 * n
+        off = F // 2
+        reps = -(-(F + off) // N)
+        T = reps * N
+        xt_a = np.tile(ua, 2 * reps + 1)
+        xt_d = np.tile(ud, 2 * reps + 1)
+        s = T + F - 1 - off
+        return (np.convolve(xt_a, w.rec_lo)[s: s + N]
+                + np.convolve(xt_d, w.rec_hi)[s: s + N])
+    out_len = 2 * n - F + 2
+    return (np.convolve(ua, w.rec_lo)[F - 2: F - 2 + out_len]
+            + np.convolve(ud, w.rec_hi)[F - 2: F - 2 + out_len])
+
+
+def _golden_rows(f, a):
+    return np.stack([f(r) for r in a])
+
+
+def _golden_dwt2(x, name: str, mode: str):
+    """Separable 2-D composition of the independent 1-D generator:
+    axis 0 first, then axis 1 on each half (pywt subband naming:
+    cH = 'da' = detail along axis 0)."""
+    a0 = _golden_rows(lambda r: _golden_dwt(r, name, mode)[0], x.T).T
+    d0 = _golden_rows(lambda r: _golden_dwt(r, name, mode)[1], x.T).T
+    aa = _golden_rows(lambda r: _golden_dwt(r, name, mode)[0], a0)
+    ad = _golden_rows(lambda r: _golden_dwt(r, name, mode)[1], a0)
+    da = _golden_rows(lambda r: _golden_dwt(r, name, mode)[0], d0)
+    dd = _golden_rows(lambda r: _golden_dwt(r, name, mode)[1], d0)
+    return aa, (da, ad, dd)
+
+
+def _golden_idwt2(cA, details, name: str, mode: str):
+    cH, cV, cD = details
+    a0 = _golden_rows(lambda r: _golden_idwt(*r, name, mode),
+                      list(zip(cA, cV)))
+    d0 = _golden_rows(lambda r: _golden_idwt(*r, name, mode),
+                      list(zip(cH, cD)))
+    return _golden_rows(lambda r: _golden_idwt(*r, name, mode),
+                        list(zip(a0.T, d0.T))).T
+
+
+def _golden_wavedec2(x, name: str, level: int, mode: str):
+    """Multi-level cascade: feed the approximation band back through the
+    independent 2-D generator (coarse-first output list, pywt order)."""
+    coeffs = []
+    a = x
+    for _ in range(level):
+        a, details = _golden_dwt2(a, name, mode)
+        coeffs.append(details)
+    return [a] + coeffs[::-1]
+
+
+def _golden_waverec2(coeffs, name: str, mode: str):
+    """Multi-level synthesis with pywt's between-level overshoot crop."""
+    a = coeffs[0]
+    for details in coeffs[1:]:
+        hh, hw = details[0].shape
+        a = a[:hh, :hw]
+        a = _golden_idwt2(a, details, name, mode)
+    return a
+
+
+def _golden_mosaic(coeffs):
+    """Independent pywt.coeffs_to_array packer: explicit zero-canvas
+    placement (A top-left, 'ad' right of it, 'da' below, 'dd' diagonal),
+    zero padding where subbands don't tile.  Returns (arr, slot dict list
+    mirroring the slices structure)."""
+    arr = coeffs[0].copy()
+    slots = [(slice(0, arr.shape[0]), slice(0, arr.shape[1]))]
+    for (da, ad, dd) in coeffs[1:]:
+        ah, aw = arr.shape
+        hh, hw = da.shape
+        vh, vw = ad.shape
+        canvas = np.zeros((ah + hh, aw + vw), arr.dtype)
+        canvas[:ah, :aw] = arr
+        canvas[:vh, aw:aw + vw] = ad
+        canvas[ah:ah + hh, :hw] = da
+        canvas[ah:ah + dd.shape[0], aw:aw + dd.shape[1]] = dd
+        slots.append({"ad": (slice(0, vh), slice(aw, aw + vw)),
+                      "da": (slice(ah, ah + hh), slice(0, hw)),
+                      "dd": (slice(ah, ah + dd.shape[0]),
+                             slice(aw, aw + dd.shape[1]))})
+        arr = canvas
+    return arr, slots
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+@pytest.mark.parametrize("name", REFERENCE_WAVELETS)
+def test_golden_multilevel_cascade_and_mosaic(name, mode, rng):
+    """L2/L3 cascade + mosaic packing vs the INDEPENDENT generator for all
+    17 reference wavelets x {periodization, symmetric} on odd x even dims:
+    a convention error in the multi-level packing (subband order, slot
+    placement, odd-dim padding, between-level sizes) breaks this for every
+    family (VERDICT r4 missing item 2; reference exercises exactly this at
+    level 5, /root/reference/ResNet/dwt_pruning.py:67-73)."""
+    x = rng.standard_normal((21, 16))
+    for level in (2, 3):
+        want = _golden_wavedec2(x, name, level, mode)
+        got = dn.wavedec2(x, name, level, mode)
+        assert len(got) == len(want) == level + 1
+        np.testing.assert_allclose(got[0], want[0], atol=1e-9,
+                                   err_msg=f"{name} L{level} approx")
+        for li, (wd, gd) in enumerate(zip(want[1:], got[1:])):
+            for sub, wsub, gsub in zip(("da", "ad", "dd"), wd, gd):
+                np.testing.assert_allclose(
+                    gsub, wsub, atol=1e-9,
+                    err_msg=f"{name} L{level} lvl{li} {sub}")
+        # mosaic: values AND slot layout
+        w_arr, w_slots = _golden_mosaic(want)
+        g_arr, g_slices = dn.coeffs_to_array(got)
+        assert g_arr.shape == w_arr.shape
+        np.testing.assert_allclose(g_arr, w_arr, atol=1e-9,
+                                   err_msg=f"{name} L{level} mosaic")
+        assert g_slices[0] == w_slots[0]
+        for wl, gl in zip(w_slots[1:], g_slices[1:]):
+            assert {k: gl[k] for k in ("ad", "da", "dd")} == wl, (name, level)
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+@pytest.mark.parametrize("name", ["haar", "bior4.4"])
+def test_golden_level5_roundtrip(name, mode, rng):
+    """Reference headline depth (level 5) on odd dims: cascade analysis,
+    mosaic, unpack, independent synthesis — full-pipeline golden."""
+    x = rng.standard_normal((37, 41))
+    level = 5 if name == "haar" else 2  # bior4.4 dec_len 10 shrinks slower
+    want = _golden_wavedec2(x, name, level, mode)
+    got = dn.wavedec2(x, name, level, mode)
+    w_arr, _ = _golden_mosaic(want)
+    g_arr, g_slices = dn.coeffs_to_array(got)
+    np.testing.assert_allclose(g_arr, w_arr, atol=1e-9)
+    # reconstruct through the independent synthesis from the engine's own
+    # unpacked coefficients: pins waverec2's crop/size conventions too
+    back = dn.array_to_coeffs(g_arr, g_slices)
+    rec_golden = _golden_waverec2(back, name, mode)[:37, :41]
+    rec_engine = dn.waverec2(dn.array_to_coeffs(g_arr, g_slices), name,
+                             mode)[:37, :41]
+    np.testing.assert_allclose(rec_engine, rec_golden, atol=1e-9)
+    np.testing.assert_allclose(rec_engine, x, atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+@pytest.mark.parametrize("name", REFERENCE_WAVELETS)
+def test_golden_end_to_end_percentile_prune(name, mode, rng):
+    """The reference pipeline (wavedec2 -> mosaic -> ONE np.percentile over
+    |mosaic| -> strict-< zeroing -> unpack -> waverec2 -> crop,
+    /root/reference/ResNet/dwt_pruning.py:67-82) computed ENTIRELY with the
+    independent generator, vs the framework's dwt_prune_tensor — for every
+    reference wavelet x {periodization, symmetric}."""
+    from wavelettransforms_tpu.prune.dwt_prune import dwt_prune_tensor
+
+    x = rng.standard_normal((61, 50))  # f64: np.percentile rank is exact
+    q = 61.8
+    # independent re-derivation of pywt's dwt_max_level clamp over the
+    # SMALLER spatial dim (/root/reference/ResNet/dwt_pruning.py:12-13):
+    F = get_wavelet(name).dec_len
+    level = min(2, int(np.floor(np.log2(50 / (F - 1)))) if 50 >= F - 1 else 0)
+    want_coeffs = _golden_wavedec2(x, name, level, mode)
+    w_arr, w_slots = _golden_mosaic(want_coeffs)
+    thr = np.percentile(np.abs(w_arr), q)
+    pruned = np.where(np.abs(w_arr) < thr, 0.0, w_arr)
+    unpack = [pruned[w_slots[0]]]
+    for sl in w_slots[1:]:
+        unpack.append((pruned[sl["da"]], pruned[sl["ad"]], pruned[sl["dd"]]))
+    want = _golden_waverec2(unpack, name, mode)[:61, :50]
+    got, thr_got = dwt_prune_tensor(x, name, 2, q, mode)
+    np.testing.assert_allclose(float(thr_got), thr, atol=1e-12,
+                               err_msg=f"{name} threshold")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-9,
+                               err_msg=f"{name} pruned output")
+
+
 def test_haar_periodization_golden():
     # pywt.dwt([1,2,3,4], 'haar', 'periodization') published values.
     cA, cD = dn.dwt(np.array([1.0, 2, 3, 4]), "haar", "periodization")
