@@ -20,11 +20,13 @@ with ``axis_index`` at trace time.  Collectives per level per sharded axis:
   * analysis: ONE non-wrapping ``ppermute`` (left halo of ``F - 2`` columns;
     the global left edge reflects its own head, the global right edge
     reflects its own tail — pywt half-sample symmetry, verified against
-    ops/dwt_numpy._extension_indices);
+    ops/dwt_numpy._extension_indices).  The level's two axis-1 half-passes
+    are stacked so the whole level costs ONE collective per sharded axis;
   * synthesis: ONE non-wrapping ``ppermute`` (right halo of ``(F - 1) // 2``
     coefficients; the valid-mode synthesis reads no left halo because odd
     upsampled slots are zero, and global edges zero-pad exactly like the
-    unsharded full correlation).
+    unsharded full correlation).  cA/cD — and, batched at the call site,
+    all four of the level's subbands — share the one permute.
 
 The global percentile masks each shard's slack tail to +inf (never counted
 below any finite candidate) and feeds the REAL coefficient count plus the
@@ -104,7 +106,12 @@ class _AxisPlan:
             lr = (self.last[-1] + F - 1) // 2
             self.interior.append(li)
             self.last.append(lr)
-            self.buf.append(li + F)  # slack: last-shard surplus < F
+            # TIGHT buffer = the last shard's exact real length (the old
+            # li + F slack inflated every coefficient-space op by up to
+            # (F-1)/li per axis per level — a large share of the r4 27.7%
+            # sharded-symmetric overhead at 8 devices); the synthesis pads
+            # its own F-column extension window locally when needed
+            self.buf.append(max(li, lr))
         # periodic's right extension is fetched from shard 0's head
         # (F-1 real cols); reflect reads F-1 head cols on the left edge and
         # skips the edge sample on the right
@@ -123,14 +130,21 @@ class _AxisPlan:
 # 1-D sharded valid-mode passes (last axis)
 # ---------------------------------------------------------------------------
 
-def _sym_dwt_last_sharded(x, w: Wavelet, axis_name: str,
+def _sym_dwt_last_sharded(bands, w: Wavelet, axis_name: str,
                           l_int: int, l_last: int, buf_out: int,
                           mode: str = "symmetric"):
-    """Single-level valid-size-mode DWT along the (sharded) last axis.
+    """Single-level valid-size-mode DWT along the (sharded) last axis of a
+    TUPLE of equal-shape band buffers.
 
-    ``x``: (..., B) buffer with ``l_int`` real columns on interior shards and
-    ``l_last`` on the final shard (garbage beyond).  Returns (cA, cD) buffers
-    of width ``buf_out`` (same ragged convention; garbage tail undefined).
+    Each band: (..., B) buffer with ``l_int`` real columns on interior
+    shards and ``l_last`` on the final shard (garbage beyond).  Returns a
+    tuple of (cA, cD) pairs of width ``buf_out`` (same ragged convention).
+
+    All bands share ONE halo ``ppermute``: the (small) F-2-column tails are
+    packed along the last axis before the collective — a level's two
+    half-passes cost one collective per sharded axis instead of one per
+    band (r4 SCALING: per-band permutes were a large share of the 27.7%
+    sharded-symmetric overhead).
 
     Output k (shard-local) reads extended-signal columns [2k, 2k + F), where
     the extension is [left halo of F-2 | real | right reflection] — exactly
@@ -141,101 +155,130 @@ def _sym_dwt_last_sharded(x, w: Wavelet, axis_name: str,
     hL = F - 2
     nd = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    dec_lo = jnp.asarray(w.dec_lo[::-1].copy(), dtype=x.dtype)
-    dec_hi = jnp.asarray(w.dec_hi[::-1].copy(), dtype=x.dtype)
+    dtype = bands[0].dtype
+    dec_lo = jnp.asarray(w.dec_lo[::-1].copy(), dtype=dtype)
+    dec_hi = jnp.asarray(w.dec_hi[::-1].copy(), dtype=dtype)
+    nbands = len(bands)
 
+    lefts = [None] * nbands
     if hL:
         # every shard sends its (real) tail rightward; the global left edge
         # takes its boundary extension instead — except 'periodic', whose
         # left extension IS the global tail: wrap the ring like halo.py
-        tail_i = x[..., l_int - hL:l_int]
         if mode == "periodic":
-            tail = jnp.where(idx == nd - 1, x[..., l_last - hL:l_last],
-                             tail_i)
-            left = lax.ppermute(tail, axis_name,
-                                [(i, (i + 1) % nd) for i in range(nd)])
+            tails = [jnp.where(idx == nd - 1, x[..., l_last - hL:l_last],
+                               x[..., l_int - hL:l_int]) for x in bands]
+            packed = jnp.concatenate(tails, -1) if nbands > 1 else tails[0]
+            left_p = lax.ppermute(packed, axis_name,
+                                  [(i, (i + 1) % nd) for i in range(nd)])
+            lefts = [left_p[..., i * hL:(i + 1) * hL] for i in range(nbands)]
         else:
-            left = lax.ppermute(tail_i, axis_name,
-                                [(i, i + 1) for i in range(nd - 1)])
-            left = jnp.where(idx == 0, _edge_left(x, hL, mode), left)
-        parts = [left]
-    else:
-        parts = []
-
-    # body: interior shards' outputs never read past their real columns
-    # (max read = 2*(l_int/2 - 1) + F - 1 - hL = l_int - 1 in body coords);
-    # the last shard appends the right boundary extension AT column l_last —
-    # build both statically, select by shard index
+            packed = jnp.concatenate(
+                [x[..., l_int - hL:l_int] for x in bands], -1
+            ) if nbands > 1 else bands[0][..., l_int - hL:l_int]
+            left_p = lax.ppermute(packed, axis_name,
+                                  [(i, i + 1) for i in range(nd - 1)])
+            lefts = [jnp.where(idx == 0, _edge_left(x, hL, mode),
+                               left_p[..., i * hL:(i + 1) * hL])
+                     for i, x in enumerate(bands)]
     if mode == "periodic":
         # right extension = global head = shard 0's first F-1 real columns
-        ext = lax.ppermute(x[..., :F - 1], axis_name, [(0, nd - 1)])
-    else:
-        ext = _edge_right(x, l_last, F - 1, mode)
-    body_last = jnp.concatenate([x[..., :l_last], ext], -1)
-    pad_to = max(x.shape[-1], body_last.shape[-1])
+        packed_h = (jnp.concatenate([x[..., :F - 1] for x in bands], -1)
+                    if nbands > 1 else bands[0][..., :F - 1])
+        right_p = lax.ppermute(packed_h, axis_name, [(0, nd - 1)])
+        rights = [right_p[..., i * (F - 1):(i + 1) * (F - 1)]
+                  for i in range(nbands)]
 
-    def padded(t):
-        d = pad_to - t.shape[-1]
-        return t if d == 0 else jnp.pad(
-            t, [(0, 0)] * (t.ndim - 1) + [(0, d)])
+    outs = []
+    for bi, x in enumerate(bands):
+        # body: interior shards' outputs never read past their real columns
+        # (max read = l_int - 1 in body coords); the last shard appends the
+        # right boundary extension AT column l_last.  Interior shards never
+        # read columns >= l_int (<= l_last), so the ext region is harmless
+        # finite junk there — written UNCONDITIONALLY into the tail (no
+        # full-array per-shard select).
+        ext = (rights[bi] if mode == "periodic"
+               else _edge_right(x, l_last, F - 1, mode))
+        pad_to = max(x.shape[-1], l_last + F - 1)
+        body = x if x.shape[-1] == pad_to else jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(0, pad_to - x.shape[-1])])
+        body = lax.dynamic_update_slice_in_dim(body, ext.astype(body.dtype),
+                                               l_last, axis=-1)
+        xe = (jnp.concatenate([lefts[bi], body], -1) if hL else body)
 
-    body = jnp.where(idx == nd - 1, padded(body_last), padded(x))
-    xe = jnp.concatenate(parts + [body], -1)
+        def to_buf(t):
+            d = buf_out - t.shape[-1]
+            if d > 0:
+                t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, d)])
+            return t[..., :buf_out]
 
-    cA = _conv1d_last(xe, dec_lo, 2)
-    cD = _conv1d_last(xe, dec_hi, 2)
-
-    def to_buf(t):
-        d = buf_out - t.shape[-1]
-        if d > 0:
-            t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, d)])
-        return t[..., :buf_out]
-
-    return to_buf(cA), to_buf(cD)
+        outs.append((to_buf(_conv1d_last(xe, dec_lo, 2)),
+                     to_buf(_conv1d_last(xe, dec_hi, 2))))
+    return tuple(outs)
 
 
-def _sym_idwt_last_sharded(cA, cD, w: Wavelet, axis_name: str,
+def _sym_idwt_last_sharded(pairs, w: Wavelet, axis_name: str,
                            c_int: int, c_last: int, buf_out: int):
-    """Single-level symmetric-mode synthesis along the (sharded) last axis.
+    """Single-level symmetric-mode synthesis along the (sharded) last axis
+    of a TUPLE of (cA, cD) pairs.
 
     Valid-mode synthesis x[i] = sum_m u[m] rec[i + F - 2 - m] (u = zero-
     upsampled coefficients) — shard-local output i reads coefficient columns
     [ceil((i-1)/2), (i + F - 2) // 2]: a RIGHT halo of (F-1)//2 columns and
     no left halo.  Global edges zero-pad, exactly like the unsharded full
     correlation (ops/dwt_jax._idwt_last_conv valid path).
+
+    ALL subbands of a level share ONE halo ``ppermute``: the hR-column
+    heads are packed along the last axis before the collective (r4
+    SCALING: per-band permutes were a large share of the 27.7%
+    sharded-symmetric overhead).  Returns a tuple of synthesized bands.
     """
     F = w.rec_len
     hR = (F - 1) // 2
     nd = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    rec_lo = jnp.asarray(w.rec_lo[::-1].copy(), dtype=cA.dtype)
-    rec_hi = jnp.asarray(w.rec_hi[::-1].copy(), dtype=cA.dtype)
+    dtype = pairs[0][0].dtype
+    rec_lo = jnp.asarray(w.rec_lo[::-1].copy(), dtype=dtype)
+    rec_hi = jnp.asarray(w.rec_hi[::-1].copy(), dtype=dtype)
+    arrs = [c for pair in pairs for c in pair]
 
     # zero the slack tail: garbage must contribute exactly the zeros the
     # unsharded u has beyond the real coefficient range
-    cols = jnp.arange(cA.shape[-1])
+    cols = jnp.arange(arrs[0].shape[-1])
     real = jnp.where(idx == nd - 1, c_last, c_int)
-    mask = (cols < real).astype(cA.dtype)
-    cA = cA * mask
-    cD = cD * mask
+    mask = (cols < real).astype(dtype)
+    arrs = [c * mask for c in arrs]
 
     # extension of F columns appended DIRECTLY AFTER column c_int (global
     # coefficient coordinates are c_int-strided): interior shards put the
     # right-neighbor's head (hR real halo columns) there; the LAST shard
     # puts its own surplus coefficients (columns c_int..c_last, already
     # masked to zero beyond) — its halo would be the zeros past the global
-    # end, which the masked surplus already is beyond c_last.
+    # end, which the masked surplus already is beyond c_last.  Buffers are
+    # TIGHT (= the last shard's real length), so the F-column window may
+    # need a local zero-pad first.
     ext_len = F
+    need = c_int + ext_len
+    if hR:
+        packed = (jnp.concatenate([c[..., :hR] for c in arrs], -1)
+                  if len(arrs) > 1 else arrs[0][..., :hR])
+        right_p = lax.ppermute(packed, axis_name,
+                               [(i + 1, i) for i in range(nd - 1)])
 
-    def with_halo(c):
-        head = c[..., :hR]
-        right = lax.ppermute(head, axis_name,
-                             [(i + 1, i) for i in range(nd - 1)])
-        pad_cols = [(0, 0)] * (c.ndim - 1)
-        halo_ext = jnp.pad(right, pad_cols + [(0, ext_len - hR)])
+    outs = []
+    for ai, c in enumerate(arrs):
+        if c.shape[-1] < need:
+            c = jnp.pad(c, [(0, 0)] * (c.ndim - 1)
+                        + [(0, need - c.shape[-1])])
+        if hR:
+            halo_ext = jnp.pad(
+                right_p[..., ai * hR:(ai + 1) * hR],
+                [(0, 0)] * (c.ndim - 1) + [(0, ext_len - hR)])
+        else:
+            halo_ext = jnp.zeros(c.shape[:-1] + (ext_len,), dtype)
         own_ext = c[..., c_int:c_int + ext_len]
         ext = jnp.where(idx == nd - 1, own_ext, halo_ext)
-        return jnp.concatenate([c[..., :c_int], ext], -1)
+        outs.append(jnp.concatenate([c[..., :c_int], ext], -1))
 
     def upsample(c):
         z = jnp.zeros_like(c)
@@ -244,27 +287,21 @@ def _sym_idwt_last_sharded(cA, cD, w: Wavelet, axis_name: str,
         # prepend one zero: x[i] = sum_j rec_rev[j] u[i - 1 + j]
         return jnp.pad(u, [(0, 0)] * (c.ndim - 1) + [(1, 0)])
 
-    ua = upsample(with_halo(cA))
-    ud = upsample(with_halo(cD))
-    y = _conv1d_last(ua, rec_lo, 1) + _conv1d_last(ud, rec_hi, 1)
-
-    d = buf_out - y.shape[-1]
-    if d > 0:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, d)])
-    return y[..., :buf_out]
+    ys = []
+    for pi in range(len(pairs)):
+        ua = upsample(outs[2 * pi])
+        ud = upsample(outs[2 * pi + 1])
+        y = _conv1d_last(ua, rec_lo, 1) + _conv1d_last(ud, rec_hi, 1)
+        d = buf_out - y.shape[-1]
+        if d > 0:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, d)])
+        ys.append(y[..., :buf_out])
+    return tuple(ys)
 
 
 def _local_valid(x, w: Wavelet, axis: int, mode: str):
     """Unsharded valid-mode DWT along ``axis`` (whole axis local)."""
     return dj.dwt(x, w, mode, axis=axis)
-
-
-def _move(fn, x, axis, *rest, **kw):
-    xm = jnp.moveaxis(x, axis, -1)
-    out = fn(xm, *rest, **kw)
-    if isinstance(out, tuple):
-        return tuple(jnp.moveaxis(o, -1, axis) for o in out)
-    return jnp.moveaxis(out, -1, axis)
 
 
 # ---------------------------------------------------------------------------
@@ -281,19 +318,23 @@ def sharded_wavedec2_sym_tiled(x_local, wavelet, level: int, axis_names,
     name0, name1 = axis_names
     p0, p1 = plans
 
-    def dwt_axis(t, axis, name, plan, k):
+    def dwt_axis(bands, axis, name, plan, k):
+        """Transform a tuple of bands along one axis; sharded axes share a
+        single packed-tail halo collective across all bands."""
         if name is None:
-            return _local_valid(t, w, axis, mode)
-        return _move(_sym_dwt_last_sharded, t, axis, w, name,
-                     plan.interior[k], plan.last[k], plan.buf[k + 1],
-                     mode=mode)
+            return tuple(_local_valid(t, w, axis, mode) for t in bands)
+        moved = tuple(jnp.moveaxis(t, axis, -1) for t in bands)
+        outs = _sym_dwt_last_sharded(moved, w, name, plan.interior[k],
+                                     plan.last[k], plan.buf[k + 1],
+                                     mode=mode)
+        return tuple((jnp.moveaxis(ca, -1, axis), jnp.moveaxis(cd, -1, axis))
+                     for ca, cd in outs)
 
     coeffs = []
     a = x_local
     for k in range(level):
-        a0, d0 = dwt_axis(a, -2, name0, p0, k)
-        aa, ad = dwt_axis(a0, -1, name1, p1, k)
-        da, dd = dwt_axis(d0, -1, name1, p1, k)
+        ((a0, d0),) = dwt_axis((a,), -2, name0, p0, k)
+        (aa, ad), (da, dd) = dwt_axis((a0, d0), -1, name1, p1, k)
         coeffs.append((da, ad, dd))
         a = aa
     return [a] + coeffs[::-1]
@@ -308,15 +349,18 @@ def sharded_waverec2_sym_tiled(coeffs, wavelet, level: int, axis_names,
     name0, name1 = axis_names
     p0, p1 = plans
 
-    def idwt_axis(ca, cd, axis, name, plan, k):
-        # synthesizing level-(k+1) coefficients back to level-k length
+    def idwt_axis(pairs, axis, name, plan, k):
+        # synthesizing level-(k+1) coefficients back to level-k length;
+        # sharded axes: ONE packed-head ppermute for every subband of the
+        # level's pairs
         if name is None:
-            return dj.idwt(ca, cd, w, mode, axis=axis)
-        cam = jnp.moveaxis(ca, axis, -1)
-        cdm = jnp.moveaxis(cd, axis, -1)
-        y = _sym_idwt_last_sharded(cam, cdm, w, name, plan.interior[k + 1],
-                                   plan.last[k + 1], plan.buf[k])
-        return jnp.moveaxis(y, -1, axis)
+            return tuple(dj.idwt(ca, cd, w, mode, axis=axis)
+                         for ca, cd in pairs)
+        moved = tuple((jnp.moveaxis(ca, axis, -1),
+                       jnp.moveaxis(cd, axis, -1)) for ca, cd in pairs)
+        ys = _sym_idwt_last_sharded(moved, w, name, plan.interior[k + 1],
+                                    plan.last[k + 1], plan.buf[k])
+        return tuple(jnp.moveaxis(y, -1, axis) for y in ys)
 
     a = coeffs[0]
     for i, (da, ad, dd) in enumerate(coeffs[1:]):
@@ -327,9 +371,8 @@ def sharded_waverec2_sym_tiled(coeffs, wavelet, level: int, axis_names,
         for ax in (-2, -1):
             if a.shape[ax] > da.shape[ax]:
                 a = lax.slice_in_dim(a, 0, da.shape[ax], axis=ax % a.ndim)
-        a0 = idwt_axis(a, ad, -1, name1, p1, k)
-        d0 = idwt_axis(da, dd, -1, name1, p1, k)
-        a = idwt_axis(a0, d0, -2, name0, p0, k)
+        a0, d0 = idwt_axis(((a, ad), (da, dd)), -1, name1, p1, k)
+        (a,) = idwt_axis(((a0, d0),), -2, name0, p0, k)
     return a
 
 
