@@ -478,3 +478,55 @@ def test_ragged_periodization_bf16(rng):
     assert rec.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(rec, np.float32)[:, :41, :67],
                                x32, rtol=0, atol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Direct edge-extension analysis (no materialized jnp.pad)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["symmetric", "reflect", "zero", "constant"])
+def test_direct_ext_analysis_matches_engine(mode, rng):
+    """The direct edge-extension kernel (strip DMAs + boundary-folded lane
+    operators) == XLA engine for every local-extension mode, at shapes that
+    actually route to it (W >= 256; odd H exercises the sub-tile row
+    remainder region of the DMA plan)."""
+    for (H, W) in ((300, 384), (256, 256), (212, 384)):
+        x = jnp.asarray(rng.standard_normal((1, H, W)).astype(np.float32))
+        assert fb._direct_ext_ok(x, mode, H, W)
+        got = fb.dwt2_level_pallas_mode(x, "bior4.4", mode, interpret=True)
+        cA, (cH, cV, cD) = dj.dwt2(x, "bior4.4", mode)
+        for name, a, b in zip("ll hl lh hh".split(), got, (cA, cH, cV, cD)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2e-5,
+                err_msg=f"{mode} {H}x{W} {name}")
+
+
+@pytest.mark.parametrize("wav", ["haar", "db2", "sym6", "bior4.4"])
+def test_direct_ext_filter_lengths(wav, rng):
+    """Filter lengths 2/4/12/10: hp_top clamping (F=2 has no top strip) and
+    per-length boundary operator folding."""
+    x = jnp.asarray(rng.standard_normal((1, 260, 384)).astype(np.float32))
+    got = fb.dwt2_level_pallas_mode(x, wav, "symmetric", interpret=True)
+    cA, (cH, cV, cD) = dj.dwt2(x, wav, "symmetric")
+    for name, a, b in zip("ll hl lh hh".split(), got, (cA, cH, cV, cD)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=2e-5, err_msg=f"{wav} {name}")
+
+
+def test_direct_ext_padded_pipeline_roundtrip(rng):
+    """padded=True multi-level pipeline through the direct kernel (level-2
+    input is a tile-padded LL with true_shape): exact-zero masking beyond
+    the true extent + roundtrip reconstruction."""
+    for mode in ("symmetric", "reflect"):
+        x = jnp.asarray(rng.standard_normal((1, 384, 384)).astype(np.float32))
+        coeffs, shapes = fb.wavedec2_pallas_mode(x, "bior4.4", 2, mode,
+                                                 interpret=True, padded=True)
+        # pad cells beyond the true extent are exact zeros
+        (h1, w1) = shapes[1]
+        hl1 = np.asarray(coeffs[1][0])
+        assert (hl1[:, h1:, :] == 0).all() and (hl1[:, :, w1:] == 0).all()
+        out = fb.waverec2_pallas_mode(coeffs, "bior4.4", mode,
+                                      interpret=True, true_shapes=shapes)
+        np.testing.assert_allclose(np.asarray(out)[:, :384, :384],
+                                   np.asarray(x), rtol=0, atol=2e-5,
+                                   err_msg=mode)

@@ -1014,8 +1014,9 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
         # F/2-1 samples per side — the same mode-agnostic valid kernel, so
         # 4095^2 / 3000x5000 tensors stop falling back to the 22x-slower
         # XLA path.
-        assert not padded_out, \
-            "tile-padded pipeline unsupported for ragged periodization"
+        if padded_out:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "tile-padded pipeline unsupported for ragged periodization")
         if H % 2:
             xt = jnp.concatenate([xt, xt[:, -1:, :]], axis=1)
         if W % 2:
@@ -1028,6 +1029,11 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
         hp_out = (H + 1) // 2
         wp_out = (W + 1) // 2
     else:
+        if _direct_ext_ok(x, mode, H, W):
+            # direct edge-extension kernel: no materialized jnp.pad of the
+            # whole input (saves one full read+write of the tensor)
+            return _dwt2_level_direct_ext(x, w, mode, H, W, tmo,
+                                          padded_out, interpret)
         pad = F - 1
         hp_out = (H + F - 1) // 2
         wp_out = (W + F - 1) // 2
@@ -1095,6 +1101,339 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
     if padded_out:
         return ll, hl, lh, hh
     return tuple(s[:, :hp_out, :wp_out] for s in (ll, hl, lh, hh))
+
+
+# ---------------------------------------------------------------------------
+# DIRECT edge-extension analysis: no materialized jnp.pad of the input.
+#
+# The jnp.pad route reads + writes the WHOLE tensor once before the kernel
+# ever runs (~1/3 of the symmetric roundtrip's HBM traffic at 4096^2).  The
+# direct kernel reads the raw input instead and applies the boundary
+# extension itself:
+#   * ROWS: the extension only touches O(F) edge rows — they are
+#     precomputed as tiny strip arrays (plus the input's sub-tile row
+#     remainder, for DMA alignment) and the per-band DMA plan stitches
+#     [top strip | input rows | bottom strip] together with static lengths
+#     (special-cased boundary bands, one contiguous copy for interior
+#     bands);
+#   * LANES: the extension folds into the banded MXU operators — each
+#     64-wide output block reads an ALIGNED 256-lane window of the raw
+#     input and multiplies a per-block operator whose taps encode the
+#     reflection (same 2-tile contraction cost as the extended form).
+# Modes whose extension is local to each edge qualify (symmetric / reflect
+# / zero / constant); 'periodic' wraps to the opposite edge and keeps the
+# jnp.pad route.
+# ---------------------------------------------------------------------------
+
+_DIRECT_EXT_MODES = ("symmetric", "reflect", "zero", "constant")
+_WIN = 256  # aligned lane window per output block (2 MXU contraction tiles)
+
+
+def _virtual_lane(v: int, n: int, mode: str):
+    """x-index (or None for a zero) of VIRTUAL index ``v`` of the extended
+    signal; single-bounce extension (callers guarantee |overhang| <= n)."""
+    if 0 <= v < n:
+        return v
+    if mode == "zero":
+        return None
+    if mode == "constant":
+        return 0 if v < 0 else n - 1
+    if mode == "symmetric":   # ... x1 x0 | x | x_{n-1} x_{n-2} ...
+        return -1 - v if v < 0 else 2 * n - 1 - v
+    if mode == "reflect":     # ... x2 x1 | x | x_{n-2} x_{n-3} ...
+        return -v if v < 0 else 2 * n - 2 - v
+    raise ValueError(mode)
+
+
+def _edge_rows(xt, k: int, mode: str, top: bool):
+    """The k extension rows adjacent to the top/bottom edge, in xe order
+    (top: virtual rows -k..-1; bottom: virtual rows H..H+k-1)."""
+    if k == 0:
+        return xt[:, :0]
+    H = xt.shape[1]
+    idx = ([_virtual_lane(v, H, mode) for v in range(-k, 0)] if top
+           else [_virtual_lane(v, H, mode) for v in range(H, H + k)])
+    if any(i is None for i in idx):  # zero mode
+        return jnp.zeros(xt.shape[:1] + (k,) + xt.shape[2:], xt.dtype)
+    return xt[:, np.asarray(idx), :]
+
+
+def _row_analysis_ops_direct(w: Wavelet, Wt: int, wp_out: int, nblk: int,
+                             wbuf: int, mode: str):
+    """Per-output-block lane operators for the direct window scheme.
+    Block j0 computes out cols [64*j0, 64*j0+64) of both subbands from the
+    aligned input window [wstart[j0], wstart[j0]+_WIN):
+        out[:, 64*j0 + c (+64)] = window @ T[var_of[j0]][:, c (+64)]
+    with the boundary extension folded into the edge blocks' taps.
+    Returns (variants (V, _WIN, 2*_AOUT) np.f32, var_of, wstarts)."""
+    F = w.dec_len
+    mats: dict = {}
+    var_of, wstarts = [], []
+    for j0 in range(nblk):
+        wstart = min(max(128 * (j0 - 1), 0), max(wbuf - _WIN, 0))
+        T = np.zeros((_WIN, 2 * _AOUT), np.float32)
+        for cc in range(_AOUT):
+            c = 64 * j0 + cc
+            if c >= wp_out:
+                continue  # masked output cols keep zero taps
+            for j in range(F):
+                v = 2 * c + j - (F - 2)  # virtual input lane
+                xl = _virtual_lane(v, Wt, mode)
+                if xl is None:
+                    continue
+                r = xl - wstart
+                assert 0 <= r < _WIN, (j0, c, xl, wstart, Wt, wbuf)
+                T[r, cc] += w.dec_lo[::-1][j]
+                T[r, _AOUT + cc] += w.dec_hi[::-1][j]
+        key = T.tobytes()
+        if key not in mats:
+            mats[key] = (len(mats), T)
+        var_of.append(mats[key][0])
+        wstarts.append(wstart)
+    variants = np.stack(
+        [t for _, t in sorted(mats.values(), key=lambda p: p[0])])
+    return variants, tuple(var_of), tuple(wstarts)
+
+
+def _row_fetch_plans(nb: int, tmo: int, lrv: int, regions):
+    """Static per-band DMA plans over the virtual row layout.  ``regions``:
+    [(src_id, v_start, v_len)] with 8-aligned bounds.  Returns (plans,
+    (g_lo, g_hi)) where bands g_lo..g_hi share the generic single-copy
+    interior plan (one contiguous fetch from the main input)."""
+    plans = []
+    for K in range(nb):
+        r0 = 2 * tmo * K
+        plan = []
+        for sid, v0, vlen in regions:
+            s, e = max(r0, v0), min(r0 + lrv, v0 + vlen)
+            if e > s:
+                plan.append((sid, s - v0, s - r0, e - s))
+        plans.append(plan)
+    generic = [K for K, p in enumerate(plans)
+               if len(p) == 1 and p[0][0] == 1 and p[0][3] == lrv]
+    if generic:
+        g_lo, g_hi = generic[0], generic[-1]
+        assert generic == list(range(g_lo, g_hi + 1)), generic
+    else:
+        g_lo, g_hi = 1, 0  # empty range
+    return plans, (g_lo, g_hi)
+
+
+def _analysis_kernel_direct(x_hbm, top_hbm, bot_hbm, th_ref, tl_ref,
+                            ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
+                            tmo: int, lrv: int, shift: int,
+                            lo_rev, hi_rev, plans, grange, hp_top: int,
+                            var_of, wstarts, mask_shape, sub: int):
+    """Fused direct-extension 2-D analysis: per band, a static DMA plan
+    stitches [top strip | raw input rows | bottom strip] into the
+    double-buffered band; the lane pass uses per-block boundary-folded
+    operators.  ``tl_ref`` is None on the f32-HIGHEST path."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    n = b * nb + i
+    total = pl.num_programs(0) * nb
+    srcs = (top_hbm, x_hbm, bot_hbm)
+    g_lo, g_hi = grange
+
+    def issue(step, do):
+        """Run ``do(copy)`` for each copy of flat step's plan (static
+        lengths; generic bands share one branch, boundary bands get their
+        own)."""
+        slot = jax.lax.rem(step, jnp.int32(2))
+        K = jax.lax.rem(step, jnp.int32(nb))
+        bb = step // nb
+
+        def copies(plan, r0_static=None):
+            cps = []
+            for ci, (sid, src_off, dst_off, length) in enumerate(plan):
+                if r0_static is None and sid == 1:
+                    src = pl.multiple_of(2 * tmo * K - hp_top, sub)
+                else:
+                    src = src_off
+                cps.append(pltpu.make_async_copy(
+                    srcs[sid].at[bb, pl.ds(src, length), :],
+                    band.at[slot, pl.ds(dst_off, length), :],
+                    sem.at[slot, ci]))
+            return cps
+
+        if g_lo <= g_hi:
+            @pl.when((K >= g_lo) & (K <= g_hi))
+            def _():
+                for cp in copies(plans[g_lo]):
+                    do(cp)
+        for K_s in range(nb):
+            if g_lo <= K_s <= g_hi:
+                continue
+
+            @pl.when(K == K_s)
+            def _(K_s=K_s):
+                for cp in copies(plans[K_s], r0_static=True):
+                    do(cp)
+
+    @pl.when(n == 0)
+    def _():
+        issue(n, lambda c: c.start())
+
+    @pl.when(n + 1 < total)
+    def _():
+        issue(n + 1, lambda c: c.start())
+
+    issue(n, lambda c: c.wait())
+
+    xb = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
+    a0, d0 = _col_pass(xb, lo_rev, hi_rev, tmo, shift=shift)
+
+    bf16x3 = tl_ref is not None
+    if bf16x3:
+        ah, al = _split_bf16(a0)
+        dh, dl = _split_bf16(d0)
+    hp_out, wp_out = mask_shape
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 0) + i * tmo
+    coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 1)
+    zero = jnp.zeros((), jnp.float32)
+    for j0, (var, ws) in enumerate(zip(var_of, wstarts)):
+        sl = lambda t: jax.lax.slice_in_dim(t, ws, ws + _WIN, axis=1)
+        if bf16x3:
+            Th = th_ref[var]
+            Tl = tl_ref[var]
+            both_a = _dot(sl(ah), Th) + _dot(sl(al), Th) + _dot(sl(ah), Tl)
+            both_d = _dot(sl(dh), Th) + _dot(sl(dl), Th) + _dot(sl(dh), Tl)
+        else:
+            T = th_ref[var]
+            both_a = jnp.dot(sl(a0), T, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            both_d = jnp.dot(sl(d0), T, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        keep = (rowi < hp_out) & (coli + j0 * _AOUT < wp_out)
+        ds = pl.ds(j0 * _AOUT, _AOUT)
+        ll_ref[:, ds] = jnp.where(keep, both_a[:, :_AOUT], zero).astype(
+            ll_ref.dtype)
+        lh_ref[:, ds] = jnp.where(keep, both_a[:, _AOUT:], zero).astype(
+            lh_ref.dtype)
+        hl_ref[:, ds] = jnp.where(keep, both_d[:, :_AOUT], zero).astype(
+            hl_ref.dtype)
+        hh_ref[:, ds] = jnp.where(keep, both_d[:, _AOUT:], zero).astype(
+            hh_ref.dtype)
+
+
+def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
+                           tmo: int, padded_out: bool, interpret: bool):
+    """Direct edge-extension single-level analysis (see block comment
+    above).  Output contract matches ``dwt2_level_pallas_mode``: tile-padded
+    exact-zero-masked subbands for ``padded_out``, pywt-sliced otherwise."""
+    B = x.shape[0]
+    F = w.dec_len
+    sub = _sublane(x.dtype)
+    wbuf = x.shape[2]
+    hp_out = (H + F - 1) // 2
+    wp_out = (W + F - 1) // 2
+    lo_rev = tuple(float(v) for v in w.dec_lo[::-1])
+    hi_rev = tuple(float(v) for v in w.dec_hi[::-1])
+
+    tmo = min(tmo, -(-hp_out // sub) * sub)
+    if tmo % sub:
+        tmo = -(-tmo // sub) * sub
+    if padded_out:
+        rows_min = max(hp_out, _synth_rows_needed(2 * hp_out - F + 2, F, sub))
+        wp_pad = max(-(-wp_out // 128) * 128,
+                     _synth_cols_needed(2 * wp_out - F + 2, F))
+    else:
+        rows_min = hp_out
+        wp_pad = -(-wp_out // _MXU_OUT) * _MXU_OUT
+    nb = -(-rows_min // tmo)
+
+    # virtual row layout: [junk+top strip | aligned input body | remainder
+    # + bottom strip + zero tail]; all region bounds sub-aligned
+    hp_top = max(-(-(F - 2) // sub) * sub, sub)
+    shift = hp_top - (F - 2)
+    lrv = -(-(2 * tmo - 2 + shift + F) // sub) * sub
+    Hm = (H // sub) * sub
+    rows_needed = 2 * tmo * (nb - 1) + lrv
+    bot_rows = max(rows_needed - hp_top - Hm, 0)
+    bot_rows = -(-bot_rows // sub) * sub
+
+    # kernel DMAs straight from x (any tile-padded rows beyond Hm are never
+    # fetched); only the tiny strips are built with XLA
+    xt = x[:, :H, :W]  # strip-building view — O(F) rows gathered from it
+
+    def to_wbuf(t):
+        if t.shape[2] == wbuf:
+            return t
+        return jnp.pad(t, [(0, 0), (0, 0), (0, wbuf - t.shape[2])])
+
+    # strips: tiny XLA builds (O(F + sub) rows each)
+    top_strip = to_wbuf(jnp.pad(_edge_rows(xt, F - 2, mode, top=True),
+                                [(0, 0), (shift, 0), (0, 0)]))
+    rem = xt[:, Hm:H, :]
+    bot_real = jnp.concatenate(
+        [rem, _edge_rows(xt, F - 1, mode, top=False)], axis=1)
+    bot_strip = to_wbuf(jnp.pad(
+        bot_real,
+        [(0, 0), (0, max(0, bot_rows - bot_real.shape[1])), (0, 0)]))
+    bot_strip = bot_strip[:, :bot_rows]
+
+    regions = [(0, 0, hp_top), (1, hp_top, Hm), (2, hp_top + Hm, bot_rows)]
+    plans, grange = _row_fetch_plans(nb, tmo, lrv, regions)
+    max_copies = max((len(p) for p in plans), default=1)
+
+    nblk = wp_pad // _AOUT
+    variants, var_of, wstarts = _row_analysis_ops_direct(
+        w, W, wp_out, nblk, wbuf, mode)
+    bf16x3 = _MXU_BF16X3
+    if bf16x3:
+        vh = variants.astype(np.dtype("bfloat16"))
+        vl = (variants - vh.astype(np.float32)).astype(np.dtype("bfloat16"))
+        t_args = (jnp.asarray(vh), jnp.asarray(vl))
+    else:
+        t_args = (jnp.asarray(variants),)
+
+    grid = (B, nb)
+    out_shape = [jax.ShapeDtypeStruct((B, nb * tmo, wp_pad), x.dtype)] * 4
+    out_spec = pl.BlockSpec((1, tmo, wp_pad), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wrapped(x_h, top_h, bot_h, *rest):
+        if bf16x3:
+            (th, tl, ll, hl, lh, hh, band, sem) = rest
+        else:
+            (th, ll, hl, lh, hh, band, sem) = rest
+            tl = None
+        _analysis_kernel_direct(
+            x_h, top_h, bot_h, th, tl,
+            ll.at[0], hl.at[0], lh.at[0], hh.at[0], band, sem,
+            tmo=tmo, lrv=lrv, shift=shift, lo_rev=lo_rev, hi_rev=hi_rev,
+            plans=plans, grange=grange, hp_top=hp_top,
+            var_of=var_of, wstarts=wstarts,
+            mask_shape=(hp_out, wp_out), sub=sub)
+
+    ll, hl, lh, hh = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(t_args)),
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, lrv, wbuf), x.dtype),
+            pltpu.SemaphoreType.DMA((2, max_copies)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(x, top_strip, bot_strip, *t_args)
+    if padded_out:
+        return ll, hl, lh, hh
+    return tuple(s[:, :hp_out, :wp_out] for s in (ll, hl, lh, hh))
+
+
+def _direct_ext_ok(x, mode: str, H: int, W: int) -> bool:
+    """Route eligibility for the direct edge-extension analysis kernel
+    (48 > 2 * max dec_len keeps single-bounce reflections in range)."""
+    return (mode in _DIRECT_EXT_MODES
+            and x.dtype == jnp.float32
+            and x.shape[2] % 128 == 0
+            and x.shape[2] >= _WIN
+            and W >= _WIN and H >= 48)
 
 
 def _row_synthesis_matrices_valid(w: Wavelet, wv: int):
@@ -1257,8 +1596,9 @@ def idwt2_level_pallas_mode(ll, hl, lh, hh, wavelet: str,
         # synthesis of the circular coefficient extension at padded output
         # index i + 1 - F/2 + 2*p, with p = ceil((F/2 - 1)/2) wrap columns/
         # rows per side (derivation mirrors dwt_numpy._synthesis_matrices).
-        assert true_shape is None, \
-            "tile-padded pipeline unsupported for ragged periodization"
+        if true_shape is not None:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "tile-padded pipeline unsupported for ragged periodization")
         F = w.rec_len
         off = F // 2
         p = (off - 1 + 1) // 2  # ceil((F/2 - 1) / 2)
@@ -1369,7 +1709,10 @@ def wavedec2_pallas_mode(x, wavelet: str, level: int,
     shapes, the circular-extension valid-kernel path for ragged ones (pywt
     ceil-half sizes either way)."""
     if mode == "periodization":
-        assert not padded, "periodization subbands are tile-exact already"
+        if padded:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "periodization subbands are tile-exact already; "
+                "padded=True applies only to valid-size modes")
         coeffs = []
         a = x
         for _ in range(level):
