@@ -106,11 +106,15 @@ def _deinterleaved_pass(band, filt_rev, out_rows: int, shift: int = 0):
     planes = (de[:, 0, :], de[:, 1, :])
     acc = None
     for j, c in enumerate(filt_rev):
+        if c == 0.0:
+            continue  # bior/rbio filters carry exact-zero taps (VPU-bound)
         src = planes[(j + shift) % 2]
         start = (j + shift) // 2
         piece = jax.lax.slice_in_dim(src, start, start + out_rows, axis=0)
         term = piece * c
         acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((out_rows, cols), band.dtype)
     return acc
 
 
@@ -161,6 +165,27 @@ def _row_analysis_matrices(w: Wavelet):
     return T
 
 
+def _col_analysis_matrix(w: Wavelet, tm: int, rows: int, halo: int,
+                         hp: int):
+    """MXU column-pass operator (bf16 lossy path): res = A @ band computes
+    BOTH subbands' column pass straight from the (16,128)-tiled bf16 band —
+    no band upcast, no VPU shifted adds (the kernels are VPU-bound;
+    measured 0.63 -> ~0.4 ms on the bf16 roundtrip).  A is (tm, rows):
+    out rows [0, tm/2) = lo, [tm/2, tm) = hi; band row of tap j for output
+    k is 2k + j + (hp - halo)."""
+    F = w.dec_len
+    A = np.zeros((tm, rows), np.float32)
+    sh = hp - halo
+    lo_rev = w.dec_lo[::-1]
+    hi_rev = w.dec_hi[::-1]
+    for k in range(tm // 2):
+        for j in range(F):
+            r = 2 * k + j + sh
+            A[k, r] += lo_rev[j]
+            A[tm // 2 + k, r] += hi_rev[j]
+    return A
+
+
 def _row_pass_mxu_prep(x, T, hp: int, bf16: bool = False):
     """Lane-axis analysis as banded block matmuls (MXU).  ``T`` is the fused
     (_AIN + 2*hp, 2*_AOUT) operator with lo taps in columns [:_AOUT] and hi
@@ -192,6 +217,8 @@ def _row_pass_mxu_prep(x, T, hp: int, bf16: bool = False):
         if use_x3:
             return _dot(sl(eh), Th) + _dot(sl(el), Th) + _dot(sl(eh), Tl)
         if bf16:
+            # one native bf16 MXU pass (Mosaic requires a 32-bit
+            # accumulator, so emit f32 and cast at the store)
             return _dot(sl(ext), T)
         return jnp.dot(sl(ext), T, precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
@@ -213,7 +240,8 @@ def _aligned_halo(halo: int, sub: int = 8) -> int:
 
 def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
                      tm: int, h: int, w: int, halo: int,
-                     lo_rev, hi_rev, tlo_ref=None, sub: int = 8):
+                     lo_rev, hi_rev, tlo_ref=None, sub: int = 8,
+                     acol_ref=None):
     """Input bands are double-buffered: step n's compute overlaps step n+1's
     HBM->VMEM DMA (``band`` has a leading slot axis of 2); output writes are
     pipelined by pallas itself via the out BlockSpecs."""
@@ -260,8 +288,23 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
     for cp in start_fetch(n):
         cp.wait()
 
-    x = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
-    a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
+    # NOTE: a fully-native bf16 VPU col pass (no astype) was tried and
+    # measured 4x SLOWER (2.55 ms roundtrip vs 0.63): Mosaic's bf16
+    # elementwise / sublane-reshape codegen is far worse than one upcast +
+    # f32 VPU work.  The bf16 path instead runs the col pass on the MXU
+    # (``acol_ref``), straight from the packed band.
+    slot_b = band[jax.lax.rem(n, jnp.int32(2))]
+    if acol_ref is not None:
+        # one native bf16 pass: a hi/lo tap split was tried (+0.08 ms) and
+        # left the error essentially unchanged — the input/coefficient
+        # bf16 rounding dominates the lossy path's budget, not the taps
+        res = jnp.dot(acol_ref[...], slot_b,
+                      preferred_element_type=jnp.float32)
+        a0 = jax.lax.slice_in_dim(res, 0, tm // 2, axis=0)
+        d0 = jax.lax.slice_in_dim(res, tm // 2, tm, axis=0)
+    else:
+        x = slot_b.astype(jnp.float32)
+        a0, d0 = _col_pass(x, lo_rev, hi_rev, tm // 2, shift=hp - halo)
     # pywt naming: hl = 'da' (detail along rows), lh = 'ad' (detail cols)
     if tlo_ref is not None:
         T = tlo_ref[...]
@@ -297,15 +340,20 @@ def _analysis_kernel(x_hbm, ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
         hh_ref[...] = hh.astype(hh_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret"))
+@functools.partial(jax.jit, static_argnames=("wavelet", "tm", "interpret",
+                                             "out_dtype"))
 def dwt2_level_pallas(x, wavelet: str, tm: int | None = None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, out_dtype=None):
     """Single-level 2-D periodization DWT of (B, H, W) float32 or bfloat16.
 
     Returns (ll, hl, lh, hh), each (B, H/2, W/2) in the input dtype:
       hl = detail along rows (pywt 'da' / cH), lh = detail along cols ('ad').
     H must be a multiple of ``tm``; H, W even; halo (= dec_len/2-1) < tm.
     bfloat16 inputs halve HBM traffic (lossy paths); compute is f32.
+
+    ``out_dtype`` overrides the coefficient dtype (mixed-precision
+    pipelines: e.g. bf16 input -> f32 coefficients); the MXU pass count
+    follows the OUTPUT dtype (bf16 out = one native bf16 dot).
 
     ``tm=None`` picks 256-row bands when H allows (fewer, larger input DMAs:
     measured 431 -> 447 GB/s on the 4096^2 bior4.4 roundtrip), else 128.
@@ -325,25 +373,42 @@ def dwt2_level_pallas(x, wavelet: str, tm: int | None = None,
 
     sub = _sublane(x.dtype)
     grid = (B, H // tm)
-    out_shape = [jax.ShapeDtypeStruct((B, H // 2, W // 2), x.dtype)] * 4
+    out_shape = [jax.ShapeDtypeStruct((B, H // 2, W // 2),
+                                      out_dtype or x.dtype)] * 4
     out_spec = pl.BlockSpec((1, tm // 2, W // 2), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
     use_mxu = W % _AIN == 0
+    # bf16 io: column pass on the MXU straight from the packed band (the
+    # kernels are VPU-bound; this removes the band upcast + shifted adds)
+    use_col_mxu = (use_mxu and jnp.dtype(x.dtype) == jnp.bfloat16
+                   and jnp.dtype(out_dtype or x.dtype) == jnp.bfloat16)
 
     if use_mxu:
         T_np = _row_analysis_matrices(w)
+        extra_specs, extra_args = [], ()
+        if use_col_mxu:
+            A_np = _col_analysis_matrix(w, tm, tm + 2 * _aligned_halo(
+                halo, sub), halo, _aligned_halo(halo, sub))
+            extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            extra_args = (jnp.asarray(A_np, jnp.bfloat16),)
 
-        def wrapped(x_hbm, tref, ll, hl, lh, hh, band, sem):
+        def wrapped(x_hbm, tref, *rest):
+            if use_col_mxu:
+                (aref, ll, hl, lh, hh, band, sem) = rest
+            else:
+                aref = None
+                (ll, hl, lh, hh, band, sem) = rest
             _analysis_kernel(
                 x_hbm,
                 ll.at[0], hl.at[0], lh.at[0], hh.at[0],
                 band, sem, tm=tm, h=H, w=W, halo=halo,
-                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tref, sub=sub)
+                lo_rev=lo_rev, hi_rev=hi_rev, tlo_ref=tref, sub=sub,
+                acol_ref=aref)
 
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.VMEM)]
-        args = (x, jnp.asarray(T_np))
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)] + extra_specs)
+        args = (x, jnp.asarray(T_np)) + extra_args
     else:
         def wrapped(x_hbm, ll, hl, lh, hh, band, sem):
             _analysis_kernel(
@@ -389,10 +454,16 @@ def _synth_pass_rows(ua, ud, lo_rev_sym, hi_rev_sym, out_rows: int,
     acc = None
     for j in range(F):
         s = j + start
-        pa = jax.lax.slice_in_dim(ua, s, s + out_rows, axis=0) * lo_rev_sym[j]
-        pd = jax.lax.slice_in_dim(ud, s, s + out_rows, axis=0) * hi_rev_sym[j]
-        term = pa + pd
-        acc = term if acc is None else acc + term
+        term = None
+        if lo_rev_sym[j] != 0.0:  # skip exact-zero taps (VPU-bound)
+            term = jax.lax.slice_in_dim(ua, s, s + out_rows,
+                                        axis=0) * lo_rev_sym[j]
+        if hi_rev_sym[j] != 0.0:
+            pd = jax.lax.slice_in_dim(ud, s, s + out_rows,
+                                      axis=0) * hi_rev_sym[j]
+            term = pd if term is None else term + pd
+        if term is not None:
+            acc = term if acc is None else acc + term
     return acc
 
 
@@ -544,6 +615,7 @@ def _wsynth_mxu_prep(a, d, S, hpc: int, bf16: bool = False):
             bh = blk_of(ah, dh)
             return _dot(bh, Sh) + _dot(blk_of(al, dl), Sh) + _dot(bh, Sl)
         if bf16:
+            # one native bf16 MXU pass (f32 accumulator; cast at the store)
             return _dot(blk_of(a_ext, d_ext), S)
         return jnp.dot(blk_of(a_ext, d_ext), S,
                        precision=jax.lax.Precision.HIGHEST,
@@ -567,10 +639,18 @@ def _row_synth_polyphase(a0, d0, lo_rev, hi_rev, tc: int, hl_n: int,
                 continue
             delta = (j + rho - off) // 2
             start = hl_n + delta
-            pa = jax.lax.slice_in_dim(a0, start, start + tc, axis=0) * lo_rev[j]
-            pd = jax.lax.slice_in_dim(d0, start, start + tc, axis=0) * hi_rev[j]
-            term = pa + pd
-            acc = term if acc is None else acc + term
+            term = None
+            if lo_rev[j] != 0.0:  # skip exact-zero taps (VPU-bound)
+                term = jax.lax.slice_in_dim(a0, start, start + tc,
+                                            axis=0) * lo_rev[j]
+            if hi_rev[j] != 0.0:
+                pd = jax.lax.slice_in_dim(d0, start, start + tc,
+                                          axis=0) * hi_rev[j]
+                term = pd if term is None else term + pd
+            if term is not None:
+                acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((tc, cols), a0.dtype)
         phases.append(acc)
     return jnp.stack(phases, axis=1).reshape(2 * tc, cols)
 
@@ -1126,6 +1206,7 @@ def dwt2_level_pallas_mode(x, wavelet: str, mode: str = "symmetric",
 # ---------------------------------------------------------------------------
 
 _DIRECT_EXT_MODES = ("symmetric", "reflect", "zero", "constant")
+_DIRECT_MASK = True  # experiment knob (tests/bisection): mask pad cells
 _WIN = 256  # aligned lane window per output block (2 MXU contraction tiles)
 
 
@@ -1219,67 +1300,59 @@ def _row_fetch_plans(nb: int, tmo: int, lrv: int, regions):
     return plans, (g_lo, g_hi)
 
 
-def _analysis_kernel_direct(x_hbm, top_hbm, bot_hbm, th_ref, tl_ref,
+def _analysis_kernel_direct(x_hbm, bnd_hbm, th_ref, tl_ref,
                             ll_ref, hl_ref, lh_ref, hh_ref, band, sem, *,
                             tmo: int, lrv: int, shift: int,
-                            lo_rev, hi_rev, plans, grange, hp_top: int,
-                            var_of, wstarts, mask_shape, sub: int):
-    """Fused direct-extension 2-D analysis: per band, a static DMA plan
-    stitches [top strip | raw input rows | bottom strip] into the
-    double-buffered band; the lane pass uses per-block boundary-folded
-    operators.  ``tl_ref`` is None on the f32-HIGHEST path."""
+                            lo_rev, hi_rev, grange, boundary_Ks,
+                            hp_top: int, var_of, wstarts, mask_shape,
+                            sub: int):
+    """Fused direct-extension 2-D analysis.  Every band is exactly ONE
+    band-sized DMA: interior bands fetch straight from the input at a
+    traced offset; the few boundary bands fetch their pre-stitched content
+    from the small ``bnd_hbm`` side array (built on the host side of the
+    kernel from [top strip | input rows | bottom strip]).  Only the DMA
+    SOURCE is conditional — sizes, destination, and the wait are uniform,
+    so the double-buffered pipeline never stalls on branchy waits (the
+    first multi-copy-plan version measured 243 GB/s vs the synthesis
+    kernel's 543).  ``tl_ref`` is None on the f32-HIGHEST path."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
     n = b * nb + i
     total = pl.num_programs(0) * nb
-    srcs = (top_hbm, x_hbm, bot_hbm)
     g_lo, g_hi = grange
 
-    def issue(step, do):
-        """Run ``do(copy)`` for each copy of flat step's plan (static
-        lengths; generic bands share one branch, boundary bands get their
-        own)."""
+    def start(step):
         slot = jax.lax.rem(step, jnp.int32(2))
         K = jax.lax.rem(step, jnp.int32(nb))
         bb = step // nb
-
-        def copies(plan, r0_static=None):
-            cps = []
-            for ci, (sid, src_off, dst_off, length) in enumerate(plan):
-                if r0_static is None and sid == 1:
-                    src = pl.multiple_of(2 * tmo * K - hp_top, sub)
-                else:
-                    src = src_off
-                cps.append(pltpu.make_async_copy(
-                    srcs[sid].at[bb, pl.ds(src, length), :],
-                    band.at[slot, pl.ds(dst_off, length), :],
-                    sem.at[slot, ci]))
-            return cps
-
         if g_lo <= g_hi:
             @pl.when((K >= g_lo) & (K <= g_hi))
             def _():
-                for cp in copies(plans[g_lo]):
-                    do(cp)
-        for K_s in range(nb):
-            if g_lo <= K_s <= g_hi:
-                continue
-
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(
+                        pl.multiple_of(2 * tmo * K - hp_top, sub), lrv), :],
+                    band.at[slot], sem.at[slot]).start()
+        for bi, K_s in enumerate(boundary_Ks):
             @pl.when(K == K_s)
-            def _(K_s=K_s):
-                for cp in copies(plans[K_s], r0_static=True):
-                    do(cp)
+            def _(bi=bi):
+                pltpu.make_async_copy(
+                    bnd_hbm.at[bb, pl.ds(bi * lrv, lrv), :],
+                    band.at[slot], sem.at[slot]).start()
 
     @pl.when(n == 0)
     def _():
-        issue(n, lambda c: c.start())
+        start(n)
 
     @pl.when(n + 1 < total)
     def _():
-        issue(n + 1, lambda c: c.start())
+        start(n + 1)
 
-    issue(n, lambda c: c.wait())
+    # uniform wait: exactly one band-sized copy signals sem[slot] per step
+    # (descriptor only supplies sizes/semaphore)
+    slot_w = jax.lax.rem(n, jnp.int32(2))
+    pltpu.make_async_copy(bnd_hbm.at[n // nb, pl.ds(0, lrv), :],
+                          band.at[slot_w], sem.at[slot_w]).wait()
 
     xb = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
     a0, d0 = _col_pass(xb, lo_rev, hi_rev, tmo, shift=shift)
@@ -1289,32 +1362,51 @@ def _analysis_kernel_direct(x_hbm, top_hbm, bot_hbm, th_ref, tl_ref,
         ah, al = _split_bf16(a0)
         dh, dl = _split_bf16(d0)
     hp_out, wp_out = mask_shape
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 0) + i * tmo
-    coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, _AOUT), 1)
+    nblk = len(var_of)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (tmo, nblk * _AOUT), 0) \
+        + i * tmo
+    coli = jax.lax.broadcasted_iota(jnp.int32, (tmo, nblk * _AOUT), 1)
     zero = jnp.zeros((), jnp.float32)
-    for j0, (var, ws) in enumerate(zip(var_of, wstarts)):
+
+    # hoist the few distinct operator variants out of the block loop (one
+    # VMEM read each instead of one per 64-wide block)
+    n_var = max(var_of) + 1
+    Ths = [th_ref[v] for v in range(n_var)]
+    Tls = [tl_ref[v] for v in range(n_var)] if bf16x3 else None
+
+    def blk(j0, hi):
+        var, ws = var_of[j0], wstarts[j0]
         sl = lambda t: jax.lax.slice_in_dim(t, ws, ws + _WIN, axis=1)
         if bf16x3:
-            Th = th_ref[var]
-            Tl = tl_ref[var]
-            both_a = _dot(sl(ah), Th) + _dot(sl(al), Th) + _dot(sl(ah), Tl)
-            both_d = _dot(sl(dh), Th) + _dot(sl(dl), Th) + _dot(sl(dh), Tl)
-        else:
-            T = th_ref[var]
-            both_a = jnp.dot(sl(a0), T, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            both_d = jnp.dot(sl(d0), T, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-        keep = (rowi < hp_out) & (coli + j0 * _AOUT < wp_out)
-        ds = pl.ds(j0 * _AOUT, _AOUT)
-        ll_ref[:, ds] = jnp.where(keep, both_a[:, :_AOUT], zero).astype(
-            ll_ref.dtype)
-        lh_ref[:, ds] = jnp.where(keep, both_a[:, _AOUT:], zero).astype(
-            lh_ref.dtype)
-        hl_ref[:, ds] = jnp.where(keep, both_d[:, :_AOUT], zero).astype(
-            hl_ref.dtype)
-        hh_ref[:, ds] = jnp.where(keep, both_d[:, _AOUT:], zero).astype(
-            hh_ref.dtype)
+            h_, l_ = (ah, al) if not hi else (dh, dl)
+            return (_dot(sl(h_), Ths[var]) + _dot(sl(l_), Ths[var])
+                    + _dot(sl(h_), Tls[var]))
+        return jnp.dot(sl(a0 if not hi else d0), Ths[var],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    # BULK full-width stores with one vectorized mask (the per-block
+    # 64-wide masked stores ran ~20% slower — same effect the
+    # periodization kernel measured; registers fit at tmo=128)
+    keep = (rowi < hp_out) & (coli < wp_out)
+
+    def bulk(hi):
+        los, his = [], []
+        for j0 in range(nblk):
+            both = blk(j0, hi)
+            los.append(both[:, :_AOUT])
+            his.append(both[:, _AOUT:])
+        if not _DIRECT_MASK:  # experiment knob: pad cells keep garbage
+            return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+        return (jnp.where(keep, jnp.concatenate(los, axis=1), zero),
+                jnp.where(keep, jnp.concatenate(his, axis=1), zero))
+
+    ll, lh = bulk(False)
+    hl, hh = bulk(True)
+    ll_ref[...] = ll.astype(ll_ref.dtype)
+    lh_ref[...] = lh.astype(lh_ref.dtype)
+    hl_ref[...] = hl.astype(hl_ref.dtype)
+    hh_ref[...] = hh.astype(hh_ref.dtype)
 
 
 def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
@@ -1375,7 +1467,26 @@ def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
 
     regions = [(0, 0, hp_top), (1, hp_top, Hm), (2, hp_top + Hm, bot_rows)]
     plans, grange = _row_fetch_plans(nb, tmo, lrv, regions)
-    max_copies = max((len(p) for p in plans), default=1)
+    g_lo, g_hi = grange
+    boundary_Ks = tuple(K for K in range(nb) if not (g_lo <= K <= g_hi))
+    # pre-stitch every boundary band's full content into one small side
+    # array (a few bands of lrv rows): the kernel then needs exactly one
+    # uniform band-sized DMA per step — see _analysis_kernel_direct
+    srcs = (top_strip, to_wbuf(x), bot_strip)
+    pieces = []
+    for K in boundary_Ks:
+        segs, pos = [], 0
+        for sid, src_off, dst_off, length in plans[K]:
+            if dst_off > pos:
+                segs.append(jnp.zeros((B, dst_off - pos, wbuf), x.dtype))
+            segs.append(jax.lax.slice_in_dim(
+                srcs[sid], src_off, src_off + length, axis=1))
+            pos = dst_off + length
+        if pos < lrv:
+            segs.append(jnp.zeros((B, lrv - pos, wbuf), x.dtype))
+        pieces.append(jnp.concatenate(segs, axis=1))
+    bnd = (jnp.concatenate(pieces, axis=1) if pieces
+           else jnp.zeros((B, lrv, wbuf), x.dtype))
 
     nblk = wp_pad // _AOUT
     variants, var_of, wstarts = _row_analysis_ops_direct(
@@ -1393,34 +1504,34 @@ def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
     out_spec = pl.BlockSpec((1, tmo, wp_pad), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def wrapped(x_h, top_h, bot_h, *rest):
+    def wrapped(x_h, bnd_h, *rest):
         if bf16x3:
             (th, tl, ll, hl, lh, hh, band, sem) = rest
         else:
             (th, ll, hl, lh, hh, band, sem) = rest
             tl = None
         _analysis_kernel_direct(
-            x_h, top_h, bot_h, th, tl,
+            x_h, bnd_h, th, tl,
             ll.at[0], hl.at[0], lh.at[0], hh.at[0], band, sem,
             tmo=tmo, lrv=lrv, shift=shift, lo_rev=lo_rev, hi_rev=hi_rev,
-            plans=plans, grange=grange, hp_top=hp_top,
+            grange=grange, boundary_Ks=boundary_Ks, hp_top=hp_top,
             var_of=var_of, wstarts=wstarts,
             mask_shape=(hp_out, wp_out), sub=sub)
 
     ll, hl, lh, hh = pl.pallas_call(
         wrapped,
         grid=grid,
-        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 2
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(t_args)),
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, lrv, wbuf), x.dtype),
-            pltpu.SemaphoreType.DMA((2, max_copies)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(x, top_strip, bot_strip, *t_args)
+    )(x, bnd, *t_args)
     if padded_out:
         return ll, hl, lh, hh
     return tuple(s[:, :hp_out, :wp_out] for s in (ll, hl, lh, hh))
@@ -1490,12 +1601,18 @@ def _row_synth_polyphase_valid(a0, d0, lo_rev, hi_rev, tno: int):
             if (rho + j - 1) % 2:
                 continue
             delta = (rho + j - 1) // 2
-            pa = jax.lax.slice_in_dim(
-                a0, delta, delta + tno // 2, axis=0) * lo_rev[j]
-            pd = jax.lax.slice_in_dim(
-                d0, delta, delta + tno // 2, axis=0) * hi_rev[j]
-            term = pa + pd
-            acc = term if acc is None else acc + term
+            term = None
+            if lo_rev[j] != 0.0:  # skip exact-zero taps (VPU-bound)
+                term = jax.lax.slice_in_dim(
+                    a0, delta, delta + tno // 2, axis=0) * lo_rev[j]
+            if hi_rev[j] != 0.0:
+                pd = jax.lax.slice_in_dim(
+                    d0, delta, delta + tno // 2, axis=0) * hi_rev[j]
+                term = pd if term is None else term + pd
+            if term is not None:
+                acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((tno // 2, cols), a0.dtype)
         phases.append(acc)
     return jnp.stack(phases, axis=1).reshape(tno, cols)
 
