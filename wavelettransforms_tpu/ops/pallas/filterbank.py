@@ -380,7 +380,11 @@ def dwt2_level_pallas(x, wavelet: str, tm: int | None = None,
 
     use_mxu = W % _AIN == 0
     # bf16 io: column pass on the MXU straight from the packed band (the
-    # kernels are VPU-bound; this removes the band upcast + shifted adds)
+    # kernels are VPU-bound; this removes the band upcast + shifted adds).
+    # The analogous f32 variant (bf16x3 column dots + band hi/lo split)
+    # was tried and measured SLOWER (0.675 vs 0.638 ms roundtrip): the
+    # full-band split packs cost more VPU than the shifted adds they
+    # replace, so f32 keeps the exact VPU column pass.
     use_col_mxu = (use_mxu and jnp.dtype(x.dtype) == jnp.bfloat16
                    and jnp.dtype(out_dtype or x.dtype) == jnp.bfloat16)
 

@@ -38,18 +38,25 @@ def clamped_level(shape, wavelet, level: int) -> int:
 
 def _pallas_eligible(shape, mode: str, axes, level: int = 1,
                      wavelet: str = "bior4.4") -> bool:
-    """Route big spatial tensors through the fused Pallas kernels on TPU.
+    """Route spatial tensors through the fused Pallas kernels on TPU.
 
-    Periodization: ANY level-size cascade — aligned levels run the direct
-    circular kernels, ragged (odd / non-128-aligned) ones the circular-
-    extension valid-kernel path (filterbank._per_direct_ok decides per
-    level), so 4095^2 / 3000x5000 tensors no longer fall back to the
-    22x-slower XLA conv path.
+    Thresholds are MEASURED (scripts/bench_crossover.py, r5 table in
+    ROUND_NOTES.md): whenever the kernels compile they win — 512^2 L2
+    0.287 vs 0.395 ms XLA, 1024^2 L3 0.252 vs 1.56, 2048^2 L4 0.743 vs
+    6.16, 4096^2 L4 2.71 vs ~60 — and every measured failure was a config
+    where some level's subband extent drops below the 128-lane tile (the
+    sub-128 fallback kernels do not compile on this toolchain).  Hence:
 
-    Valid-size modes (symmetric/reflect/zero/periodic/constant): any level —
-    the kernels pad to tiles internally, and the reference's mosaic-padding
-    zeros are accounted analytically in the percentile rank
-    (quantile.percentile_abs_pytree(pad_zeros=...))."""
+    * periodization, 128-aligned dims: eligible iff every level's subband
+      stays >= 128 and aligned, i.e. both dims divisible by 128 << level;
+    * periodization, ragged dims (circular-extension valid-kernel path,
+      pads lanes internally): keep the >= 2^20-element floor with 4F
+      coarsest-band head-room (4095^2 measured 3.86 ms vs ~22x-slower
+      XLA);
+    * valid-size modes (symmetric/reflect/zero/periodic/constant): tile-
+      padded internally; >= 2^20 floor with 4F head-room (unmeasured
+      below that — the reference's workload class starts at 1024x512,
+      which symmetric covers via the direct edge-extension kernel)."""
     if axes != (-2, -1):
         return False
     try:
@@ -60,16 +67,22 @@ def _pallas_eligible(shape, mode: str, axes, level: int = 1,
     except Exception:
         return False
     h, w = shape[-2], shape[-1]
-    if h * w < (1 << 20):
-        return False
     F = get_wavelet(wavelet).dec_len
     if mode == "periodization":
+        if h % 128 == 0 and w % 128 == 0:
+            q = 128 << level
+            return (h % q == 0 and w % q == 0
+                    and min(h, w) >> level >= max(128, 4 * F))
+        if h * w < (1 << 20):
+            return False
         hl_, wl_ = h, w
         for _ in range(level):  # pywt ceil-half cascade
             hl_ = (hl_ + 1) // 2
             wl_ = (wl_ + 1) // 2
         return min(hl_, wl_) >= 4 * F  # synthesis halo head-room
     if mode not in ("symmetric", "reflect", "zero", "periodic", "constant"):
+        return False
+    if h * w < (1 << 20):
         return False
     # valid sizes grow by (F-1)//2 per halving; keep the coarsest level
     # comfortably larger than the filter so kernel halos stay in range
