@@ -530,3 +530,17 @@ def test_direct_ext_padded_pipeline_roundtrip(rng):
         np.testing.assert_allclose(np.asarray(out)[:, :384, :384],
                                    np.asarray(x), rtol=0, atol=2e-5,
                                    err_msg=mode)
+
+
+def test_out_dtype_override(rng):
+    """dwt2_level_pallas(out_dtype=...): bf16 input -> f32 coefficients
+    (mixed-precision pipelines) stays within bf16-input tolerance of the
+    engine and carries the requested dtype."""
+    x32 = rng.standard_normal((1, 64, 128)).astype(np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    subs = fb.dwt2_level_pallas(x16, "db2", interpret=True,
+                                out_dtype=jnp.float32)
+    assert all(s.dtype == jnp.float32 for s in subs)
+    want = dj.dwt2(jnp.asarray(x32), "db2", "periodization")
+    np.testing.assert_allclose(np.asarray(subs[0]), np.asarray(want[0]),
+                               rtol=0, atol=0.05)
