@@ -96,7 +96,12 @@ def measure(fn, x, spread_out: list | None = None, row: str | None = None,
     attempts: list[tuple[float, float]] = []  # (median_s, spread)
     for k in range(MAX_ATTEMPTS):
         sp: list = []
-        t = retry(lambda: chain_bench(fn, x, spread_out=sp))
+        # retries run more warmup chains and more slope repeats: freshly
+        # program-switched measurements start contaminated on this host
+        # (r5 modes-section attempts often only stabilize by attempt 3)
+        wu, reps = (2, 5) if k == 0 else (4, 7)
+        t = retry(lambda: chain_bench(fn, x, spread_out=sp, warmup=wu,
+                                      repeats=reps))
         attempts.append((t, sp[-1]))
         if sp[-1] <= TARGET_SPREAD:
             break

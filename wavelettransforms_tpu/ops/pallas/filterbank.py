@@ -25,9 +25,10 @@ Design (per grid step = one full-width row band of one batch element):
     extension feeds mode-agnostic VALID-mode kernels — all boundary logic
     stays out of the kernels (pywt valid output sizes).
 
-Measured on a v5e chip (4096^2 bior4.4, median-of-5 slope-timed runs):
-roundtrip 0.61 ms f32 (~438 GB/s, 26x the XLA conv path) / 0.66 ms bf16;
-symmetric-mode roundtrip 1.87 ms.
+Measured on a v5e chip (4096^2 bior4.4, median-of-5 slope-timed runs, r5):
+roundtrip 0.59 ms f32 (~455 GB/s, ~28x the XLA conv path) / 0.43 ms bf16
+(MXU column pass straight from the packed band); symmetric-mode roundtrip
+0.89 ms via the direct edge-extension kernel (no materialized jnp.pad).
 """
 from __future__ import annotations
 
