@@ -209,7 +209,7 @@ def _golden_mosaic(coeffs):
     return arr, slots
 
 
-@pytest.mark.parametrize("mode", ["periodization", "symmetric"])
+@pytest.mark.parametrize("mode", ALL_MODES)
 @pytest.mark.parametrize("name", REFERENCE_WAVELETS)
 def test_golden_multilevel_cascade_and_mosaic(name, mode, rng):
     """L2/L3 cascade + mosaic packing vs the INDEPENDENT generator for all
