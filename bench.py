@@ -96,12 +96,24 @@ def measure(fn, x, spread_out: list | None = None, row: str | None = None,
     attempts: list[tuple[float, float]] = []  # (median_s, spread)
     for k in range(MAX_ATTEMPTS):
         sp: list = []
-        # retries run more warmup chains and more slope repeats: freshly
-        # program-switched measurements start contaminated on this host
-        # (r5 modes-section attempts often only stabilize by attempt 3)
-        wu, reps = (2, 5) if k == 0 else (4, 7)
-        t = retry(lambda: chain_bench(fn, x, spread_out=sp, warmup=wu,
-                                      repeats=reps))
+        # Retries escalate warmup, slope repeats AND chain length: freshly
+        # program-switched measurements start contaminated on this host,
+        # and sub-ms ops are feed-gap-dominated at the default 100-step
+        # chains (measured: a 0.54 ms-device-time roundtrip read 1.3 ms at
+        # 104% spread with 100-step chains, 0.55 ms at 4% with 800-step).
+        # Long chains also kick in immediately for fast ops.
+        if k == 0:
+            wu, reps, n1, n2 = 2, 5, 10, 110
+        else:
+            wu, reps = 3, 7
+            if attempts[-1][0] < 1.5e-3:
+                # sub-ms op: long chains (slow ops keep short chains — a
+                # multi-second launch chain can wedge the client)
+                n1, n2 = (20, 420) if k == 1 else (50, 850)
+            else:
+                n1, n2 = 10, 110
+        t = retry(lambda: chain_bench(fn, x, n1=n1, n2=n2, spread_out=sp,
+                                      warmup=wu, repeats=reps))
         attempts.append((t, sp[-1]))
         if sp[-1] <= TARGET_SPREAD:
             break

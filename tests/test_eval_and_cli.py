@@ -184,7 +184,8 @@ def test_bench_measure_clean_attempt_priority(monkeypatch):
 
     seq = [(0.5e-3, 1.2), (0.9e-3, 0.05)]
 
-    def fake_chain_bench(fn, x, spread_out=None, warmup=2, repeats=5):
+    def fake_chain_bench(fn, x, n1=10, n2=110, spread_out=None, warmup=2,
+                         repeats=5):
         t, sp = seq.pop(0)
         spread_out.append(sp)
         return t

@@ -1247,17 +1247,30 @@ def _edge_rows(xt, k: int, mode: str, top: bool):
 def _row_analysis_ops_direct(w: Wavelet, Wt: int, wp_out: int, nblk: int,
                              wbuf: int, mode: str):
     """Per-output-block lane operators for the direct window scheme.
-    Block j0 computes out cols [64*j0, 64*j0+64) of both subbands from the
-    aligned input window [wstart[j0], wstart[j0]+_WIN):
-        out[:, 64*j0 + c (+64)] = window @ T[var_of[j0]][:, c (+64)]
+
+    Block j0 computes out cols [64*j0, 64*j0+64) of both subbands from a
+    NARROW window of the in-kernel lane-extended array
+    ``exte = [zeros(padl) | a0 | zeros]`` (exte lane = x lane + padl):
+        out[:, 64*j0 + c (+64)] = exte[ws[j0]:ws[j0]+kw] @ T[var][:, c...]
     with the boundary extension folded into the edge blocks' taps.
-    Returns (variants (V, _WIN, 2*_AOUT) np.f32, var_of, wstarts)."""
+
+    ``kw = 126 + F`` — MXU time is proportional to the contraction length
+    (measured: the earlier fixed 256-lane windows made the dot stage
+    +0.29 ms/step at 4096^2, ~1.9x the narrow form), so the window is as
+    narrow as the filter support allows; the one lane-shift relayout the
+    concat costs is the same trick the periodization kernel uses.
+
+    Returns (variants (V, kw, 2*_AOUT) np.f32, var_of, wstarts, padl, kw,
+    exte_w)."""
     F = w.dec_len
+    padl = F - 2
+    kw = 126 + F + (padl % 2)  # keep parity simple; assert guards coverage
     mats: dict = {}
     var_of, wstarts = [], []
+    lo_rev = w.dec_lo[::-1]
+    hi_rev = w.dec_hi[::-1]
     for j0 in range(nblk):
-        wstart = min(max(128 * (j0 - 1), 0), max(wbuf - _WIN, 0))
-        T = np.zeros((_WIN, 2 * _AOUT), np.float32)
+        taps = []  # (exte_lane, cc, lo, hi)
         for cc in range(_AOUT):
             c = 64 * j0 + cc
             if c >= wp_out:
@@ -1267,18 +1280,27 @@ def _row_analysis_ops_direct(w: Wavelet, Wt: int, wp_out: int, nblk: int,
                 xl = _virtual_lane(v, Wt, mode)
                 if xl is None:
                     continue
-                r = xl - wstart
-                assert 0 <= r < _WIN, (j0, c, xl, wstart, Wt, wbuf)
-                T[r, cc] += w.dec_lo[::-1][j]
-                T[r, _AOUT + cc] += w.dec_hi[::-1][j]
-        key = T.tobytes()
+                taps.append((xl + padl, cc, lo_rev[j], hi_rev[j]))
+        if taps:
+            min_e = min(t[0] for t in taps)
+            max_e = max(t[0] for t in taps)
+            ws = (min_e // 128) * 128
+            assert max_e - ws < kw, (j0, ws, min_e, max_e, kw, Wt)
+        else:
+            ws = 0
+        T = np.zeros((kw, 2 * _AOUT), np.float32)
+        for e, cc, lo, hi in taps:
+            T[e - ws, cc] += lo
+            T[e - ws, _AOUT + cc] += hi
+        key = (ws - 128 * j0, T.tobytes())
         if key not in mats:
             mats[key] = (len(mats), T)
         var_of.append(mats[key][0])
-        wstarts.append(wstart)
+        wstarts.append(ws)
     variants = np.stack(
         [t for _, t in sorted(mats.values(), key=lambda p: p[0])])
-    return variants, tuple(var_of), tuple(wstarts)
+    exte_w = max(ws + kw for ws in wstarts)
+    return variants, tuple(var_of), tuple(wstarts), padl, kw, exte_w
 
 
 def _row_fetch_plans(nb: int, tmo: int, lrv: int, regions):
@@ -1310,7 +1332,7 @@ def _analysis_kernel_direct(x_hbm, bnd_hbm, th_ref, tl_ref,
                             tmo: int, lrv: int, shift: int,
                             lo_rev, hi_rev, grange, boundary_Ks,
                             hp_top: int, var_of, wstarts, mask_shape,
-                            sub: int):
+                            sub: int, padl: int, kw: int, exte_w: int):
     """Fused direct-extension 2-D analysis.  Every band is exactly ONE
     band-sized DMA: interior bands fetch straight from the input at a
     traced offset; the few boundary bands fetch their pre-stitched content
@@ -1362,6 +1384,24 @@ def _analysis_kernel_direct(x_hbm, bnd_hbm, th_ref, tl_ref,
     xb = band[jax.lax.rem(n, jnp.int32(2))].astype(jnp.float32)
     a0, d0 = _col_pass(xb, lo_rev, hi_rev, tmo, shift=shift)
 
+    # lane-extend once per half (a single lane-shift relayout, exactly the
+    # periodization kernel's trick) so each block's dot contracts only the
+    # narrow kw window — MXU time is proportional to the contraction length
+    def exte(t):
+        cols = t.shape[1]
+        parts = []
+        if padl:
+            parts.append(jnp.zeros((tmo, padl), jnp.float32))
+        parts.append(t)
+        pr = max(0, exte_w - padl - cols)
+        if pr:
+            parts.append(jnp.zeros((tmo, pr), jnp.float32))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+
+    a0 = exte(a0)
+    d0 = exte(d0)
+
     bf16x3 = tl_ref is not None
     if bf16x3:
         ah, al = _split_bf16(a0)
@@ -1381,7 +1421,7 @@ def _analysis_kernel_direct(x_hbm, bnd_hbm, th_ref, tl_ref,
 
     def blk(j0, hi):
         var, ws = var_of[j0], wstarts[j0]
-        sl = lambda t: jax.lax.slice_in_dim(t, ws, ws + _WIN, axis=1)
+        sl = lambda t: jax.lax.slice_in_dim(t, ws, ws + kw, axis=1)
         if bf16x3:
             h_, l_ = (ah, al) if not hi else (dh, dl)
             return (_dot(sl(h_), Ths[var]) + _dot(sl(l_), Ths[var])
@@ -1494,7 +1534,7 @@ def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
            else jnp.zeros((B, lrv, wbuf), x.dtype))
 
     nblk = wp_pad // _AOUT
-    variants, var_of, wstarts = _row_analysis_ops_direct(
+    variants, var_of, wstarts, padl, kw, exte_w = _row_analysis_ops_direct(
         w, W, wp_out, nblk, wbuf, mode)
     bf16x3 = _MXU_BF16X3
     if bf16x3:
@@ -1521,7 +1561,8 @@ def _dwt2_level_direct_ext(x, w: Wavelet, mode: str, H: int, W: int,
             tmo=tmo, lrv=lrv, shift=shift, lo_rev=lo_rev, hi_rev=hi_rev,
             grange=grange, boundary_Ks=boundary_Ks, hp_top=hp_top,
             var_of=var_of, wstarts=wstarts,
-            mask_shape=(hp_out, wp_out), sub=sub)
+            mask_shape=(hp_out, wp_out), sub=sub,
+            padl=padl, kw=kw, exte_w=exte_w)
 
     ll, hl, lh, hh = pl.pallas_call(
         wrapped,
