@@ -72,7 +72,9 @@ def log(*args):
 # (host/chip contention during the driver window); r04 recorded 126% on the
 # headline and 5-10x-slow `modes` rows that a single re-measure kept.
 TARGET_SPREAD = 0.20
-MAX_ATTEMPTS = 4
+# attempts break at the first clean one, so a calm window costs one; six
+# covers the observed noisy-window runs where attempt 3-4 first went clean
+MAX_ATTEMPTS = 6
 
 
 def measure(fn, x, spread_out: list | None = None, row: str | None = None,
